@@ -1,0 +1,214 @@
+"""Training configuration.
+
+The flag surface is a compatibility contract with the reference CLI
+(/root/reference/train.py:231-257): same names, same defaults, and the JSON
+``params.txt`` persisted at the end of training round-trips into test time
+exactly like the reference (/root/reference/train.py:222-227 writes
+``json.dumps(opt.__dict__)``; /root/reference/test.py:29-34 rehydrates it).
+
+Internally the config is a frozen dataclass so it can be closed over by jitted
+functions (it never becomes a traced value; anything shape- or
+control-flow-relevant stays Python-static).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import List, Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """All training hyper-parameters.
+
+    Field names and defaults mirror the reference argparse surface one-to-one
+    (/root/reference/train.py:231-257) so ``params.txt`` stays interchangeable.
+    """
+
+    data: str = "./data"
+    batch_size: int = 4
+    input_dim: int = 3
+    output_dim: int = 3
+    initial_epoch: int = 1
+    total_epochs: int = 135
+    epoch_constant: int = 25
+    lr: float = 0.001
+    no_label_smoothing: bool = False
+    beta1: float = 0.9
+    threads: int = 8
+    lambda_a: float = 1.0
+    lambda_gp: float = 0.01
+    lambda_per: float = 1.0
+    w_per: tuple = (0.0, 0.1, 0.3, 0.6)
+    gen: str = "UNet++"
+    nf: int = 64
+    loss: str = "ls"
+    no_aug: bool = False
+    target: str = "rgb"
+    version: int = 1
+    folder_save: str = "pix2obj"
+    folder_load: str = "pix2obj"
+    checkpoint_interval: int = -1
+    continue_training: bool = False
+    reg_every: int = 1
+
+    # --- TPU-native extensions (absent from the reference; all have inert
+    # defaults so a reference-shaped params.txt stays valid). ---
+    seed: int = 21  # reference seeds everything to 21 at util import (util.py:8-11)
+    compute_dtype: str = "bfloat16"  # MXU-friendly conv compute dtype
+    image_size: int = 256
+    drop_last: bool = True  # keep one compiled train-step shape
+    use_pallas: bool = False  # route instance-norm through the Pallas kernel
+    vgg_weights: str = ""  # optional local .npz with pretrained VGG16 features
+    mesh_data: int = 0  # data-parallel mesh size; 0 = all local devices
+
+    # ------------------------------------------------------------------
+    # Derived properties (mirroring reference train-time logic).
+    # ------------------------------------------------------------------
+
+    @property
+    def activation(self) -> bool:
+        """Whether the generator head applies Tanh.
+
+        Truth table from /root/reference/train.py:33 — True only for 'ls'
+        ('ce', 'w' and 'hinge' all train activation-free).
+        """
+        if self.loss in ("w", "hinge"):
+            return False
+        return self.loss != "ce"
+
+    @property
+    def return_filter(self) -> bool:
+        """Version-2 losses need the discriminator's intermediate features
+        (/root/reference/train.py:34)."""
+        return self.version == 2
+
+    @property
+    def label_smoothing(self) -> bool:
+        return not self.no_label_smoothing
+
+    @property
+    def work_root(self) -> str:
+        """Directory that holds models/ checkpoints/ Outputs/ — the reference
+        derives it as ``data.rsplit('/', 1)[0]`` (/root/reference/train.py:266-272)."""
+        return self.data.rsplit("/", 1)[0] if "/" in self.data else "."
+
+    def models_dir(self) -> str:
+        return os.path.join(self.work_root, "models", self.folder_save)
+
+    def checkpoints_dir(self) -> str:
+        return os.path.join(self.work_root, "checkpoints", self.folder_save)
+
+    # ------------------------------------------------------------------
+    # params.txt round-trip.
+    # ------------------------------------------------------------------
+
+    _REFERENCE_KEYS = (
+        "data", "batch_size", "input_dim", "output_dim", "initial_epoch",
+        "total_epochs", "epoch_constant", "lr", "no_label_smoothing", "beta1",
+        "threads", "lambda_a", "lambda_gp", "lambda_per", "w_per", "gen", "nf",
+        "loss", "no_aug", "target", "version", "folder_save", "folder_load",
+        "checkpoint_interval", "continue_training", "reg_every",
+    )
+
+    def to_params_dict(self) -> dict:
+        """The exact key set the reference writes (opt.__dict__ of its argparse
+        namespace), plus our extension keys. w_per serializes as a list like
+        argparse's nargs=4."""
+        d = dataclasses.asdict(self)
+        d["w_per"] = list(self.w_per)
+        return d
+
+    def save_params(self, folderpath: str) -> None:
+        """Write params.txt like /root/reference/train.py:222-227."""
+        with open(os.path.join(folderpath, "params.txt"), "w") as f:
+            f.write(json.dumps(self.to_params_dict()))
+
+    @classmethod
+    def from_params_file(cls, path: str) -> "TrainConfig":
+        """Rehydrate a config from params.txt (reference or ours).
+
+        Unknown keys are ignored; missing extension keys fall back to
+        defaults, so a params.txt written by the PyTorch reference loads
+        cleanly (the test.py analogue of /root/reference/test.py:29-34).
+        """
+        with open(path) as f:
+            raw = json.load(f)
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in raw.items() if k in field_names}
+        if "w_per" in kwargs:
+            kwargs["w_per"] = tuple(float(x) for x in kwargs["w_per"])
+        return cls(**kwargs)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """The reference train CLI (/root/reference/train.py:231-257) plus the
+    TPU-native extension flags."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", default="./data", help="dataset directory")
+    p.add_argument("--batch_size", type=int, default=4, help="training batch size")
+    p.add_argument("--input_dim", type=int, default=3, help="input depth size")
+    p.add_argument("--output_dim", type=int, default=3, help="output depth size")
+    p.add_argument("--initial_epoch", type=int, default=1,
+                   help="starting epoch, useful when resuming a half-trained model")
+    p.add_argument("--total_epochs", type=int, default=135,
+                   help="total epochs to train for")
+    p.add_argument("--epoch_constant", type=int, default=25,
+                   help="epochs to keep the learning rate constant")
+    p.add_argument("--lr", type=float, default=0.001, help="learning rate")
+    p.add_argument("--no_label_smoothing", default=False, action="store_true",
+                   help="disable one-sided label smoothing")
+    p.add_argument("--beta1", type=float, default=0.9, help="Adam beta1")
+    p.add_argument("--threads", type=int, default=8,
+                   help="host threads for loading the dataset")
+    p.add_argument("--lambda_a", type=float, default=1, help="L1 loss coefficient")
+    p.add_argument("--lambda_gp", type=float, default=0.01,
+                   help="gradient penalty coefficient")
+    p.add_argument("--lambda_per", type=float, default=1,
+                   help="perceptual loss coefficient")
+    p.add_argument("--w_per", nargs=4, type=float, default=[0, 0.1, 0.3, 0.6],
+                   help="perceptual weights")
+    p.add_argument("--gen", default="UNet++", choices=["UNet++", "UNet", "BCDUNet"],
+                   help="generator architecture")
+    p.add_argument("--nf", type=int, default=64,
+                   help="base filter count of the architectures")
+    p.add_argument("--loss", default="ls", choices=["ls", "ce", "w", "hinge"],
+                   help="GAN objective")
+    p.add_argument("--no_aug", default=False, action="store_true",
+                   help="disable dataset augmentation")
+    p.add_argument("--target", default="rgb", choices=["ch", "rgb"],
+                   help="target image format")
+    p.add_argument("-v", "--version", type=int, default=1, choices=[1, 2],
+                   help="tactile GAN version (selects the perceptual-loss variant)")
+    p.add_argument("--folder_save", default="pix2obj", help="model save folder")
+    p.add_argument("--folder_load", default="pix2obj", help="model load folder")
+    p.add_argument("--checkpoint_interval", type=int, default=-1,
+                   help="epochs between intermediate checkpoints (-1 = none)")
+    p.add_argument("--continue_training", default=False, action="store_true",
+                   help="load pretrained weights before training")
+    p.add_argument("--reg_every", type=int, default=1,
+                   help="apply gradient-penalty regularization on epochs divisible by this")
+    # TPU-native extensions
+    p.add_argument("--seed", type=int, default=21, help="PRNG seed")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"], help="conv compute dtype")
+    p.add_argument("--image_size", type=int, default=256, help="square image size")
+    p.add_argument("--use_pallas", default=False, action="store_true",
+                   help="use the Pallas fused instance-norm kernels")
+    p.add_argument("--vgg_weights", default="",
+                   help="local .npz of pretrained VGG16 feature weights for "
+                        "perceptual loss v1 (random-feature fallback if empty)")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="data-parallel mesh size (0 = all local devices)")
+    return p
+
+
+def config_from_args(argv: Optional[List[str]] = None) -> TrainConfig:
+    args = build_arg_parser().parse_args(argv)
+    d = vars(args).copy()
+    d["w_per"] = tuple(d["w_per"])
+    d.setdefault("drop_last", True)
+    return TrainConfig(**d)

@@ -1,0 +1,105 @@
+"""NHWC convolution primitives for TPU.
+
+All tensors are NHWC (channels-last, so C maps onto the 128-wide lane
+dimension of the VPU/MXU) and kernels are HWIO. XLA lowers these
+``conv_general_dilated`` calls straight onto the MXU; elementwise epilogues
+(norm/activation) fuse into them.
+
+Geometry matches the PyTorch layers the reference uses so that parity goldens
+hold exactly:
+
+- ``conv2d``            ↔ nn.Conv2d(k, stride, padding)
+  (reference generator blocks: /root/reference/generators/UNet.py:21-27,
+   discriminator: /root/reference/discriminators/PatchDiscriminator.py:14)
+- ``conv2d_transpose``  ↔ nn.ConvTranspose2d(k, stride, padding)
+  (/root/reference/generators/UNet.py:40, BCDUNet.py:135-137)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = lax.conv_dimension_numbers  # cached builder below
+
+
+def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def conv2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    *,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Union[int, Tuple[int, int]] = 0,
+    bias: Optional[jax.Array] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """2-D convolution, x: [N,H,W,Cin], kernel: [kh,kw,Cin,Cout].
+
+    ``padding`` is symmetric per spatial dim (torch semantics).
+    ``compute_dtype`` casts inputs for MXU-friendly bf16 compute; the result
+    is accumulated and returned in float32.
+    """
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def conv2d_transpose(
+    x: jax.Array,
+    kernel: jax.Array,
+    *,
+    stride: Union[int, Tuple[int, int]] = 2,
+    padding: Union[int, Tuple[int, int]] = 0,
+    bias: Optional[jax.Array] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Transposed conv matching nn.ConvTranspose2d(k, stride, padding).
+
+    x: [N,H,W,Cin], kernel: [kh,kw,Cin,Cout] (Cin = input channels of *this*
+    op). Output spatial size = (H-1)*stride - 2*padding + k.
+
+    Implemented as the standard input-dilated convolution: dilate the input by
+    ``stride``, pad by ``k - 1 - padding``, and convolve with the spatially
+    flipped kernel. XLA lowers this onto the MXU like a regular conv.
+    """
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+    # Flip spatially; the dilated-conv formulation of the transpose.
+    k_flip = kernel[::-1, ::-1, :, :]
+    dn = lax.conv_dimension_numbers(x.shape, k_flip.shape, ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        x,
+        k_flip,
+        window_strides=(1, 1),
+        padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+        lhs_dilation=(sh, sw),
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

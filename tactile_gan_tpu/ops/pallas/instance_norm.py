@@ -1,0 +1,166 @@
+"""Fused instance-norm + activation Pallas TPU kernel.
+
+Instance norm is the bandwidth-bound op between every conv in the generator
+blocks (the reference runs nn.InstanceNorm2d + ReLU after each conv,
+/root/reference/generators/UNet.py:21-27). The fused kernel makes exactly two
+VMEM sweeps over the activation — one to accumulate per-(N,C) sum/sum-of-
+squares, one to normalize + affine + activate — instead of the several HBM
+round-trips of a naive lowering.
+
+Layout: x is NHWC viewed as (N, H*W, C) so C rides the 128-lane dimension.
+The grid is (N, 2*P) where P = number of H*W tiles: the first P steps of the
+inner loop accumulate statistics into VMEM scratch, the last P steps write the
+normalized output. Statistics accumulate in float32 regardless of input dtype.
+
+The op has a custom VJP whose backward re-derives gradients from the unfused
+XLA reference implementation (rematerialization: nothing but the inputs is
+saved).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tactile_gan_tpu.ops.norm import instance_norm
+
+_EPS = 1e-5
+# Budget per input block in bytes; two blocks (in + out) plus scratch must fit
+# comfortably inside ~16 MB of VMEM with double buffering.
+_BLOCK_BYTES = 2 * 1024 * 1024
+
+
+def _pick_tile(hw: int, c: int, itemsize: int) -> int:
+    """Largest power-of-two divisor of hw whose block fits the VMEM budget."""
+    t = 1
+    while (
+        t < hw
+        and hw % (t * 2) == 0
+        and (t * 2) * c * itemsize <= _BLOCK_BYTES
+    ):
+        t *= 2
+    return t
+
+
+def _kernel(x_ref, scale_ref, offset_ref, o_ref, acc_ref, stat_ref,
+            *, num_p, hw, act, slope):
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(p < num_p)
+    def _():
+        blk = x_ref[0].astype(jnp.float32)
+        acc_ref[0, :] += jnp.sum(blk, axis=0)
+        acc_ref[1, :] += jnp.sum(blk * blk, axis=0)
+
+    @pl.when(p == num_p)
+    def _():
+        mean = acc_ref[0, :] / hw
+        var = acc_ref[1, :] / hw - mean * mean
+        stat_ref[0, :] = mean
+        stat_ref[1, :] = jax.lax.rsqrt(var + _EPS)
+
+    @pl.when(p >= num_p)
+    def _():
+        blk = x_ref[0].astype(jnp.float32)
+        y = (blk - stat_ref[0, :][None, :]) * stat_ref[1, :][None, :]
+        y = y * scale_ref[0][None, :] + offset_ref[0][None, :]
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        elif act == "leaky_relu":
+            y = jnp.where(y >= 0.0, y, y * slope)
+        o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _forward(x, scale, offset, act, slope, interpret):
+    n, h, w, c = x.shape
+    hw = h * w
+    t = _pick_tile(hw, c, jnp.dtype(x.dtype).itemsize)
+    if hw % t != 0:  # non power-of-two spatial extent: use the XLA path
+        raise ValueError(f"unsupported spatial extent {h}x{w}")
+    num_p = hw // t
+
+    xf = x.reshape(n, hw, c)
+    scale2 = scale.reshape(1, c).astype(jnp.float32)
+    offset2 = offset.reshape(1, c).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_p=num_p, hw=float(hw), act=act, slope=slope),
+        grid=(n, 2 * num_p),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i, p: (i, p % num_p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i, p: (i, p % num_p, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((8, c), jnp.float32),  # rows 0/1: sum, sum of squares
+            pltpu.VMEM((8, c), jnp.float32),  # rows 0/1: mean, rsqrt(var+eps)
+        ],
+        interpret=interpret,
+    )(xf, scale2, offset2)
+    return out.reshape(n, h, w, c)
+
+
+def _xla_reference(x, scale, offset, act, slope):
+    y = instance_norm(x, scale, offset, eps=_EPS)
+    if act == "relu":
+        y = jax.nn.relu(y)
+    elif act == "leaky_relu":
+        y = jax.nn.leaky_relu(y, negative_slope=slope)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _instance_norm_act(x, scale, offset, act, slope, interpret):
+    return _forward(x, scale, offset, act, slope, interpret)
+
+
+def _fwd(x, scale, offset, act, slope, interpret):
+    return _forward(x, scale, offset, act, slope, interpret), (x, scale, offset)
+
+
+def _bwd(act, slope, interpret, res, g):
+    x, scale, offset = res
+    _, vjp = jax.vjp(lambda a, s, o: _xla_reference(a, s, o, act, slope),
+                     x, scale, offset)
+    return vjp(g)
+
+
+_instance_norm_act.defvjp(_fwd, _bwd)
+
+
+def instance_norm_act(
+    x: jax.Array,
+    scale: Optional[jax.Array] = None,
+    offset: Optional[jax.Array] = None,
+    *,
+    act: Optional[str] = None,
+    negative_slope: float = 0.2,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused instance-norm(+affine)(+activation). Falls back to the XLA path
+    for shapes the kernel does not tile (non power-of-two H*W)."""
+    n, h, w, c = x.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hw = h * w
+    if hw & (hw - 1):  # not a power of two
+        return _xla_reference(x, scale, offset, act, negative_slope)
+    if scale is None:
+        scale = jnp.ones((c,), jnp.float32)
+        offset = jnp.zeros((c,), jnp.float32)
+        # Non-affine: gradients wrt the dummy scale/offset are discarded.
+        return _instance_norm_act(x, scale, offset, act, negative_slope, interpret)
+    return _instance_norm_act(x, scale, offset, act, negative_slope, interpret)

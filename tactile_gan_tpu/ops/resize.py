@@ -1,0 +1,50 @@
+"""Spatial resize ops (NHWC).
+
+- ``upsample_nearest2`` matches nn.Upsample(scale_factor=2) with the default
+  'nearest' mode (/root/reference/generators/UNet_plusplus.py:40).
+- ``resize_bilinear`` matches F.interpolate(mode='bilinear',
+  align_corners=False) used by the VGG perceptual loss
+  (/root/reference/util.py:127-129).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def upsample_nearest2(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x upsample via broadcast-reshape (layout-friendly on
+    TPU: no gather, fuses with the consumer concat/conv)."""
+    n, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def _axis_weights(in_size: int, out_size: int):
+    """Half-pixel-center source indices and lerp weights for one axis."""
+    scale = in_size / out_size
+    centers = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    centers = jnp.clip(centers, 0.0, in_size - 1)
+    lo = jnp.floor(centers).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_size - 1)
+    frac = centers - lo.astype(jnp.float32)
+    return lo, hi, frac
+
+
+def resize_bilinear(x: jax.Array, size: tuple) -> jax.Array:
+    """Bilinear resize with half-pixel centers and NO antialiasing — exactly
+    torch F.interpolate(mode='bilinear', align_corners=False). Separable:
+    resample H then W with static gathers (jax.image.resize is unsuitable
+    here: it antialiases on downscale)."""
+    n, h, w, c = x.shape
+    oh, ow = size
+    x = x.astype(jnp.float32)
+
+    lo, hi, frac = _axis_weights(h, oh)
+    x = x[:, lo] * (1.0 - frac)[None, :, None, None] + x[:, hi] * frac[None, :, None, None]
+
+    lo, hi, frac = _axis_weights(w, ow)
+    x = x[:, :, lo] * (1.0 - frac)[None, None, :, None] + x[:, :, hi] * frac[None, None, :, None]
+    return x

@@ -1,0 +1,140 @@
+"""Model tests: output shapes, init statistics, and fixed-weight forward
+parity against the PyTorch reference (SURVEY.md section 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from tactile_gan_tpu.models import (
+    BCDUNet, PatchDiscriminator, UNet, UNetPlusPlus,
+    create_discriminator, create_generator,
+)
+
+from torch_ref import (
+    bcdunet_params, patchdisc_params, randomize_, unet_params, unetpp_params,
+)
+
+RNG = np.random.default_rng(3)
+
+
+def _nhwc(x):
+    return x.transpose(0, 2, 3, 1)
+
+
+# ---------------------------------------------------------------------------
+# Shapes & factory.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["UNet", "UNet++", "BCDUNet", "unet", "bcdUNet"])
+def test_factory_and_shapes(name):
+    model = create_generator(name, output_dim=3, nf=8, activation=True)
+    x = jnp.zeros((1, 128, 128, 3))
+    params = model.init(jax.random.key(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 128, 128, 3)
+    assert np.asarray(jnp.abs(y)).max() <= 1.0  # tanh head
+
+
+def test_factory_rejects_unknown():
+    with pytest.raises(NameError):
+        create_generator("resnet")
+    with pytest.raises(NameError):
+        create_discriminator("multiscale")
+
+
+def test_patch_discriminator_receptive_field_256():
+    """The valid-padding stack maps 256^2 -> 57^2 patches
+    (/root/reference/discriminators/PatchDiscriminator.py:22-28;
+    SURVEY.md C8: 127→63→61→59→57)."""
+    d = PatchDiscriminator(nf=4, activation=True)
+    a = jnp.zeros((1, 256, 256, 3))
+    params = d.init(jax.random.key(0), a, a)
+    logits, feats = d.apply(params, a, a)
+    assert logits.shape == (1, 57, 57, 1)
+    assert [f.shape[1] for f in feats] == [127, 63, 61, 59]
+    assert len(feats) == 4
+
+
+def test_init_statistics():
+    """Conv kernels ~ N(0, 0.02), norms at (1, 0), biases zero — matching
+    /root/reference/util.py:23-34 + torch InstanceNorm defaults."""
+    model = UNet(output_dim=3, nf=16)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    kernels = [np.asarray(v) for v in jax.tree.leaves(params) if v.ndim == 4]
+    big = np.concatenate([k.ravel() for k in kernels])
+    assert abs(big.std() - 0.02) < 0.002
+    assert abs(big.mean()) < 0.001
+    norm_scales = np.asarray(params["down1"]["down"]["norm"]["scale"])
+    np.testing.assert_array_equal(norm_scales, np.ones_like(norm_scales))
+
+
+# ---------------------------------------------------------------------------
+# Forward parity vs the PyTorch reference, fixed weights.
+# ---------------------------------------------------------------------------
+
+def _parity_case(torch_model, flax_model, to_params, x_nchw, atol):
+    randomize_(torch_model, seed=11)
+    torch_model.eval()
+    with torch.no_grad():
+        theirs = torch_model(torch.tensor(x_nchw)).numpy()
+    params = {"params": to_params(torch_model)}
+    ours = flax_model.apply(params, jnp.array(_nhwc(x_nchw)))
+    np.testing.assert_allclose(
+        np.asarray(ours), _nhwc(theirs), atol=atol,
+        err_msg=f"{type(torch_model).__name__} parity failed")
+
+
+def test_unet_forward_parity(reference_available):
+    if not reference_available:
+        pytest.skip("reference checkout unavailable")
+    from generators.UNet import UNet as RefUNet
+    x = RNG.normal(size=(1, 3, 256, 256)).astype(np.float32)
+    _parity_case(RefUNet(3, 3, 8, activation=True),
+                 UNet(output_dim=3, nf=8, activation=True),
+                 unet_params, x, atol=2e-4)
+
+
+def test_unetpp_forward_parity(reference_available):
+    if not reference_available:
+        pytest.skip("reference checkout unavailable")
+    from generators.UNet_plusplus import UNet_plusplus as RefUNetPP
+    x = RNG.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    _parity_case(RefUNetPP(3, 3, 8, activation=True),
+                 UNetPlusPlus(output_dim=3, nf=8, activation=True),
+                 unetpp_params, x, atol=2e-4)
+
+
+def test_bcdunet_forward_parity(reference_available):
+    if not reference_available:
+        pytest.skip("reference checkout unavailable")
+    from generators.BCDUNet import BCDUNet as RefBCDUNet
+    x = RNG.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    ref = RefBCDUNet(3, 3, 8, frame_size=(64, 64), bidirectional=True,
+                     activation=True)
+    _parity_case(ref, BCDUNet(output_dim=3, nf=8, activation=True),
+                 bcdunet_params, x, atol=2e-4)
+
+
+@pytest.mark.parametrize("sigmoid", [True, False])
+def test_patch_discriminator_forward_parity(reference_available, sigmoid):
+    if not reference_available:
+        pytest.skip("reference checkout unavailable")
+    from discriminators.PatchDiscriminator import PatchDiscriminator as RefD
+    a = RNG.normal(size=(2, 3, 128, 128)).astype(np.float32)
+    b = RNG.normal(size=(2, 3, 128, 128)).astype(np.float32)
+    ref = RefD(3, 3, num_filter=8, return_filters=True, activation=sigmoid)
+    randomize_(ref, seed=5)
+    ref.eval()
+    with torch.no_grad():
+        theirs = ref(torch.tensor(a), torch.tensor(b)).numpy()
+        ref_feats = [f.numpy() for f in ref.get_intermediate_output()]
+
+    ours_model = PatchDiscriminator(nf=8, activation=sigmoid)
+    params = {"params": patchdisc_params(ref)}
+    logits, feats = ours_model.apply(params, jnp.array(_nhwc(a)), jnp.array(_nhwc(b)))
+    np.testing.assert_allclose(np.asarray(logits), _nhwc(theirs), atol=2e-4)
+    assert len(feats) == len(ref_feats) == 4
+    for ours_f, theirs_f in zip(feats, ref_feats):
+        np.testing.assert_allclose(np.asarray(ours_f), _nhwc(theirs_f), atol=2e-4)

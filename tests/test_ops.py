@@ -1,0 +1,116 @@
+"""Unit tests for the ops layer: conv geometry, instance norm, pooling,
+resize — including goldens against torch (CPU) where the reference relied on
+the corresponding nn layers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+from tactile_gan_tpu.ops import (
+    avg_pool2, conv2d, conv2d_transpose, instance_norm, max_pool2,
+    resize_bilinear, upsample_nearest2,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _nhwc(x_nchw):
+    return x_nchw.transpose(0, 2, 3, 1)
+
+
+def test_conv2d_matches_torch_k4s2p1():
+    x = RNG.normal(size=(2, 5, 16, 16)).astype(np.float32)
+    k = RNG.normal(size=(4, 4, 5, 7)).astype(np.float32)
+    b = RNG.normal(size=(7,)).astype(np.float32)
+    ours = conv2d(jnp.array(_nhwc(x)), jnp.array(k), stride=2, padding=1,
+                  bias=jnp.array(b))
+    layer = tnn.Conv2d(5, 7, 4, 2, 1)
+    layer.weight.data = torch.tensor(k.transpose(3, 2, 0, 1))
+    layer.bias.data = torch.tensor(b)
+    theirs = _nhwc(layer(torch.tensor(x)).detach().numpy())
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-4)
+
+
+def test_conv2d_matches_torch_k3s1p0():
+    # PatchDiscriminator geometry: valid padding.
+    x = RNG.normal(size=(1, 6, 20, 20)).astype(np.float32)
+    k = RNG.normal(size=(3, 3, 6, 4)).astype(np.float32)
+    ours = conv2d(jnp.array(_nhwc(x)), jnp.array(k), stride=1, padding=0)
+    layer = tnn.Conv2d(6, 4, 3, 1, 0, bias=False)
+    layer.weight.data = torch.tensor(k.transpose(3, 2, 0, 1))
+    theirs = _nhwc(layer(torch.tensor(x)).detach().numpy())
+    assert ours.shape == theirs.shape == (1, 18, 18, 4)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-4)
+
+
+@pytest.mark.parametrize("kernel,stride,padding", [(4, 2, 1), (2, 2, 0)])
+def test_conv2d_transpose_matches_torch(kernel, stride, padding):
+    x = RNG.normal(size=(2, 5, 16, 16)).astype(np.float32)
+    k = RNG.normal(size=(kernel, kernel, 5, 7)).astype(np.float32)
+    b = RNG.normal(size=(7,)).astype(np.float32)
+    ours = conv2d_transpose(jnp.array(_nhwc(x)), jnp.array(k), stride=stride,
+                            padding=padding, bias=jnp.array(b))
+    layer = tnn.ConvTranspose2d(5, 7, kernel, stride, padding)
+    layer.weight.data = torch.tensor(k.transpose(2, 3, 0, 1))
+    layer.bias.data = torch.tensor(b)
+    theirs = _nhwc(layer(torch.tensor(x)).detach().numpy())
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-4)
+
+
+@pytest.mark.parametrize("affine", [True, False])
+def test_instance_norm_matches_torch(affine):
+    x = RNG.normal(size=(3, 5, 8, 8)).astype(np.float32)
+    scale = RNG.normal(size=(5,)).astype(np.float32) if affine else None
+    offset = RNG.normal(size=(5,)).astype(np.float32) if affine else None
+    ours = instance_norm(
+        jnp.array(_nhwc(x)),
+        None if scale is None else jnp.array(scale),
+        None if offset is None else jnp.array(offset),
+    )
+    layer = tnn.InstanceNorm2d(5, affine=affine, track_running_stats=False)
+    if affine:
+        layer.weight.data = torch.tensor(scale)
+        layer.bias.data = torch.tensor(offset)
+    theirs = _nhwc(layer(torch.tensor(x)).detach().numpy())
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
+
+
+def test_pooling_matches_torch():
+    x = RNG.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(avg_pool2(jnp.array(_nhwc(x)))),
+        _nhwc(tF.avg_pool2d(torch.tensor(x), 2, 2).numpy()), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(max_pool2(jnp.array(_nhwc(x)))),
+        _nhwc(tF.max_pool2d(torch.tensor(x), 2, 2).numpy()), atol=1e-6)
+
+
+def test_upsample_nearest_matches_torch():
+    x = RNG.normal(size=(2, 3, 5, 5)).astype(np.float32)
+    ours = upsample_nearest2(jnp.array(_nhwc(x)))
+    theirs = _nhwc(tF.interpolate(torch.tensor(x), scale_factor=2).numpy())
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-6)
+
+
+def test_resize_bilinear_matches_torch_align_corners_false():
+    x = RNG.normal(size=(1, 3, 16, 16)).astype(np.float32)
+    ours = resize_bilinear(jnp.array(_nhwc(x)), (11, 11))
+    theirs = _nhwc(tF.interpolate(torch.tensor(x), size=(11, 11),
+                                  mode="bilinear", align_corners=False).numpy())
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-4)
+
+
+def test_conv2d_bf16_compute_close_to_f32():
+    x = RNG.normal(size=(1, 32, 32, 16)).astype(np.float32)
+    k = RNG.normal(size=(3, 3, 16, 16)).astype(np.float32) * 0.05
+    f32 = conv2d(jnp.array(x), jnp.array(k), padding=1)
+    bf16 = conv2d(jnp.array(x), jnp.array(k), padding=1,
+                  compute_dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.float32  # accumulated in f32
+    err = np.abs(np.asarray(f32) - np.asarray(bf16)).max()
+    assert err < 0.1
