@@ -3,12 +3,23 @@ checkout at /root/reference) with deterministic weights, and to convert those
 weights into our flax param pytrees for forward-pass parity goldens."""
 
 import sys
+import types
 
 import numpy as np
 import torch
 
 if "/root/reference" not in sys.path:
     sys.path.insert(0, "/root/reference")
+
+
+def import_ref_util():
+    """Import the reference util module. It imports torchvision at module top
+    (only used inside VGGPerceptualLoss.__init__, which we never call on CPU);
+    this environment has no torchvision, so stub it."""
+    if "torchvision" not in sys.modules:
+        sys.modules["torchvision"] = types.ModuleType("torchvision")
+    import util as ref_util
+    return ref_util
 
 
 def randomize_(module: torch.nn.Module, seed: int = 0) -> None:
