@@ -1,0 +1,124 @@
+"""Host-side paired dataset: file discovery, decode, batching, prefetch.
+
+Split of responsibilities (TPU-first, unlike the reference's per-sample CPU
+workers at /root/reference/train.py:29): the host only walks/pairs/decodes
+files into uint8 arrays and stacks batches; everything per-pixel
+(augmentation + normalization) runs on-device in data/augment.py inside the
+jitted train step.
+
+Decode uses a thread pool (`threads`, the reference's --threads flag) and the
+batch iterator prefetches one batch ahead so decode overlaps device compute.
+
+A behavioral fix over the reference: a missing tactile file raises
+FileNotFoundError immediately instead of print-then-crash-on-unbound-variable
+(/root/reference/datasets/PairedDataset.py:69-70,77-78).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from tactile_gan_tpu.data.pairing import list_images, tactile_paths_for
+
+
+class PairedDataset:
+    """Map-style paired dataset of (source RGB, tactile target) uint8 arrays."""
+
+    def __init__(self, img_dir: str, size: int = 256, mode: str = "train",
+                 aug: bool = False, target: str = "rgb"):
+        self.img_dir = img_dir
+        self.size = size
+        self.mode = mode
+        self.aug = aug and mode == "train"
+        self.target = target
+        self.images: List[str] = list_images(img_dir)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def load_pair(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (source, target) HWC uint8."""
+        source = np.asarray(Image.open(self.images[i]).convert("RGB"))
+        paths = tactile_paths_for(self.images[i], self.target)
+        try:
+            if self.target == "rgb":
+                tactile = np.asarray(Image.open(paths["rgb"]).convert("RGB"))
+            else:
+                chans = [
+                    np.asarray(Image.open(paths[k]).convert("L"))
+                    for k in ("axes", "grids", "content")
+                ]
+                tactile = np.stack(chans, axis=-1)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"missing tactile component(s) for {self.images[i]}: {paths}"
+            ) from e
+        return source, tactile
+
+    # ------------------------------------------------------------------
+    # Batching.
+    # ------------------------------------------------------------------
+
+    def batches(
+        self,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        threads: int = 8,
+        pad_to_batch: bool = False,
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+        """Yield (source u8 [B,H,W,3], target u8 [B,H,W,3], valid_count).
+
+        With ``pad_to_batch`` the final short batch is padded by repeating its
+        last sample so every device batch has one static shape;
+        ``valid_count`` tells the consumer how many rows are real.
+        """
+        order = np.arange(len(self.images))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        if drop_last:
+            order = order[: (len(order) // batch_size) * batch_size]
+        if len(order) == 0:
+            return iter(())
+
+        chunks = [order[i:i + batch_size]
+                  for i in range(0, len(order), batch_size)]
+
+        def generator():
+            # Separate pools: `decode` fans decoding out over --threads
+            # workers; `staging` (1 worker) assembles the *next* batch while
+            # the caller consumes the current one (double buffering).
+            with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as decode, \
+                    cf.ThreadPoolExecutor(max_workers=1) as staging:
+
+                def assemble(idx: np.ndarray):
+                    pairs = list(decode.map(self.load_pair, idx))
+                    srcs = np.stack([p[0] for p in pairs])
+                    tgts = np.stack([p[1] for p in pairs])
+                    valid = len(idx)
+                    if pad_to_batch and valid < batch_size:
+                        reps = batch_size - valid
+                        srcs = np.concatenate([srcs, np.repeat(srcs[-1:], reps, 0)])
+                        tgts = np.concatenate([tgts, np.repeat(tgts[-1:], reps, 0)])
+                    return srcs, tgts, valid
+
+                pending = staging.submit(assemble, chunks[0])
+                for nxt in chunks[1:]:
+                    ready = pending.result()
+                    pending = staging.submit(assemble, nxt)
+                    yield ready
+                yield pending.result()
+
+        return generator()
+
+
+def get_dataset(img_dir: str, opt, mode: str = "train") -> PairedDataset:
+    """Factory matching /root/reference/datasets/datasets.py:3-6."""
+    return PairedDataset(img_dir, size=getattr(opt, "image_size", 256),
+                         mode=mode, aug=not opt.no_aug, target=opt.target)

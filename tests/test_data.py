@@ -1,0 +1,196 @@
+"""Data pipeline tests: pairing rewrite, decode, batching/prefetch, and the
+fused on-device augmentation + normalization stage."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from tactile_gan_tpu.data import (
+    PairedDataset, get_dataset, list_images, preprocess_batch, tactile_paths_for,
+)
+from tactile_gan_tpu.data import augment as aug_mod
+
+RNG = np.random.default_rng(5)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic dataset fixture.
+# ---------------------------------------------------------------------------
+
+def make_dataset(root, n=6, size=32, target="rgb"):
+    src_dir = os.path.join(root, "train", "source")
+    tac_dir = os.path.join(root, "train", "tactile")
+    os.makedirs(src_dir, exist_ok=True)
+    os.makedirs(tac_dir, exist_ok=True)
+    for i in range(n):
+        arr = RNG.integers(0, 255, (size, size, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(src_dir, f"s_{i:04d}.png"))
+        if target == "rgb":
+            Image.fromarray(arr[:, :, ::-1]).save(
+                os.path.join(tac_dir, f"t_{i:04d}.tiff"))
+        else:
+            for comp in ("axes", "grids", "content"):
+                Image.fromarray(arr[:, :, 0]).save(
+                    os.path.join(tac_dir, f"t_{i:04d}_{comp}.tiff"))
+    return src_dir
+
+
+def test_pairing_rewrite():
+    got = tactile_paths_for("/d/train/source/s_0007.png", "rgb")
+    assert got == {"rgb": "/d/train/tactile/t_0007.tiff"}
+    got = tactile_paths_for("/d/train/source/s_0007.png", "ch")
+    assert got == {
+        "axes": "/d/train/tactile/t_0007_axes.tiff",
+        "grids": "/d/train/tactile/t_0007_grids.tiff",
+        "content": "/d/train/tactile/t_0007_content.tiff",
+    }
+
+
+@pytest.mark.parametrize("target", ["rgb", "ch"])
+def test_dataset_load_pair(tmp_path, target):
+    src_dir = make_dataset(str(tmp_path), n=4, target=target)
+    ds = PairedDataset(src_dir, mode="train", aug=False, target=target)
+    assert len(ds) == 4
+    s, t = ds.load_pair(0)
+    assert s.shape == (32, 32, 3) and s.dtype == np.uint8
+    assert t.shape == (32, 32, 3) and t.dtype == np.uint8
+
+
+def test_dataset_missing_tactile_raises(tmp_path):
+    src_dir = make_dataset(str(tmp_path), n=2)
+    os.remove(os.path.join(str(tmp_path), "train", "tactile", "t_0001.tiff"))
+    ds = PairedDataset(src_dir, mode="train", target="rgb")
+    with pytest.raises(FileNotFoundError):
+        ds.load_pair(1)
+
+
+def test_batch_iter_drop_last_and_padding(tmp_path):
+    src_dir = make_dataset(str(tmp_path), n=6)
+    ds = PairedDataset(src_dir, mode="train", target="rgb")
+
+    out = list(ds.batches(4, drop_last=True, threads=2))
+    assert len(out) == 1 and out[0][0].shape == (4, 32, 32, 3)
+
+    out = list(ds.batches(4, drop_last=False, pad_to_batch=True, threads=2))
+    assert len(out) == 2
+    assert out[1][0].shape == (4, 32, 32, 3)  # padded to static shape
+    assert out[1][2] == 2  # but only 2 valid rows
+
+
+def test_batch_iter_shuffle_deterministic(tmp_path):
+    src_dir = make_dataset(str(tmp_path), n=6)
+    ds = PairedDataset(src_dir, mode="train", target="rgb")
+    a = np.concatenate([b[0] for b in ds.batches(2, shuffle=True, seed=3)])
+    b = np.concatenate([b[0] for b in ds.batches(2, shuffle=True, seed=3)])
+    c = np.concatenate([b[0] for b in ds.batches(2, shuffle=True, seed=4)])
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_get_dataset_factory(tmp_path):
+    src_dir = make_dataset(str(tmp_path), n=2)
+
+    class Opt:
+        no_aug = False
+        target = "rgb"
+
+    ds = get_dataset(src_dir, Opt(), mode="train")
+    assert ds.aug and len(ds) == 2
+    ds = get_dataset(src_dir, Opt(), mode="test")
+    assert not ds.aug  # aug only ever applies in train mode
+
+
+# ---------------------------------------------------------------------------
+# On-device preprocessing.
+# ---------------------------------------------------------------------------
+
+def test_normalization_asymmetry():
+    """Source → [-1,1], target stays [0,1] (SURVEY.md quirk 8;
+    /root/reference/datasets/PairedDataset.py:52-58,85-90)."""
+    src = np.full((1, 8, 8, 3), 255, np.uint8)
+    tgt = np.full((1, 8, 8, 3), 255, np.uint8)
+    s, t = preprocess_batch(jnp.array(src), jnp.array(tgt), jax.random.key(0),
+                            augment=False)
+    np.testing.assert_allclose(np.asarray(s), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), 1.0, atol=1e-6)
+    src0 = np.zeros((1, 8, 8, 3), np.uint8)
+    s, t = preprocess_batch(jnp.array(src0), jnp.array(src0), jax.random.key(0),
+                            augment=False)
+    np.testing.assert_allclose(np.asarray(s), -1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), 0.0)
+
+
+def test_augment_deterministic_under_key():
+    src = RNG.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    tgt = RNG.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    s1, t1 = preprocess_batch(jnp.array(src), jnp.array(tgt),
+                              jax.random.key(9), augment=True)
+    s2, t2 = preprocess_batch(jnp.array(src), jnp.array(tgt),
+                              jax.random.key(9), augment=True)
+    s3, _ = preprocess_batch(jnp.array(src), jnp.array(tgt),
+                             jax.random.key(10), augment=True)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    assert not np.array_equal(np.asarray(s1), np.asarray(s3))
+
+
+def test_flip_is_joint_and_exact(monkeypatch):
+    """With p_flip=1 and p_affine=0 the pair must be mirrored exactly."""
+    monkeypatch.setattr(aug_mod, "P_FLIP", 1.1)
+    monkeypatch.setattr(aug_mod, "P_AFFINE", -0.1)
+    src = jnp.array(RNG.uniform(size=(16, 16, 3)).astype(np.float32))
+    tgt = jnp.array(RNG.uniform(size=(16, 16, 3)).astype(np.float32))
+    s, t = aug_mod._augment_pair(src, tgt, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(src[:, ::-1]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(tgt[:, ::-1]), atol=1e-6)
+
+
+def test_warp_identity_and_scipy_parity():
+    """_warp against scipy.ndimage.affine_transform (order=1, zero fill)."""
+    from scipy import ndimage
+
+    img = RNG.uniform(size=(20, 20, 1)).astype(np.float32)
+    ident = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    out = aug_mod._warp(jnp.array(img), ident, nearest=False)
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-6)
+
+    # A rotation+scale+shift matrix in (x, y) convention.
+    th = np.deg2rad(10.0)
+    a = np.array([[np.cos(th) / 1.1, -np.sin(th)],
+                  [np.sin(th), np.cos(th) / 0.9]], np.float32)
+    off = np.array([1.3, -0.7], np.float32)
+    mat = jnp.array(np.concatenate([a, off[:, None]], axis=1))
+    ours = np.asarray(aug_mod._warp(jnp.array(img), mat, nearest=False))[:, :, 0]
+    # scipy wants the (row=y, col=x) convention: swap axes of the matrix.
+    a_rc = a[::-1, ::-1].copy()
+    off_rc = off[::-1].copy()
+    theirs = ndimage.affine_transform(img[:, :, 0], a_rc, offset=off_rc,
+                                      order=1, mode="constant", cval=0.0)
+    # Border semantics differ by design: scipy zeroes any point sampling
+    # outside the domain, while ours blends partial taps like
+    # cv2/albumentations BORDER_CONSTANT. Compare only pixels whose bilinear
+    # taps are fully in-bounds.
+    h = w = img.shape[0]
+    gx, gy = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    src = a @ np.stack([gx.ravel(), gy.ravel()]) + off[:, None]
+    sx, sy = src[0].reshape(h, w), src[1].reshape(h, w)
+    valid = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+    assert valid.sum() > 100
+    np.testing.assert_allclose(ours[valid], theirs[valid], atol=1e-4)
+
+
+def test_augment_mask_nearest_preserves_value_set(monkeypatch):
+    """The target is sampled nearest-neighbour (albumentations mask default):
+    a binary mask stays binary under affine warping."""
+    monkeypatch.setattr(aug_mod, "P_FLIP", -0.1)
+    monkeypatch.setattr(aug_mod, "P_AFFINE", 1.1)
+    src = jnp.array(RNG.uniform(size=(24, 24, 3)).astype(np.float32))
+    mask = (RNG.uniform(size=(24, 24, 3)) > 0.5).astype(np.float32)
+    _, t = aug_mod._augment_pair(src, jnp.array(mask), jax.random.key(4))
+    vals = np.unique(np.asarray(t))
+    assert set(vals.tolist()) <= {0.0, 1.0}
