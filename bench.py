@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline metric (BASELINE.md): 256x256 train images/sec/chip for the full G+D
+step — UNet++ nf=64, batch 4, 'ls' loss, gradient penalty on (the reference
+default gates GP on every epoch: reg_every=1, lambda_gp=0.01), perceptual off
+(no pretrained VGG exists in either stack in this environment, so it is
+excluded on both sides for a fair ratio).
+
+``vs_baseline`` is measured against the actual PyTorch reference models
+running the same training arithmetic on CPU (imported read-only from
+/root/reference; the baseline is measured once and cached in
+.bench_baseline.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+BATCH = 4
+SIZE = 256
+NF = 64
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_baseline.json")
+CACHE_KEY = f"torch_cpu_unetpp_nf{NF}_b{BATCH}_{SIZE}_ls_gp"
+
+
+def measure_ours(steps: int = 20):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tactile_gan_tpu.core.config import TrainConfig
+    from tactile_gan_tpu.models.factory import (
+        create_discriminator, create_generator,
+    )
+    from tactile_gan_tpu.train.schedule import multistep_lr
+    from tactile_gan_tpu.train.state import create_train_state, make_optimizer
+    from tactile_gan_tpu.train.step import build_train_step
+
+    cfg = TrainConfig(gen="UNet++", nf=NF, batch_size=BATCH, image_size=SIZE,
+                      loss="ls", lambda_per=0.0, lambda_gp=0.01,
+                      compute_dtype="bfloat16", no_aug=False)
+    gen = create_generator(cfg.gen, cfg.output_dim, cfg.nf, cfg.activation,
+                           compute_dtype=jnp.bfloat16)
+    disc = create_discriminator("patch", cfg.nf, cfg.activation,
+                                compute_dtype=jnp.bfloat16)
+    sched = multistep_lr(cfg.lr, cfg.epoch_constant, cfg.total_epochs, 100)
+    g_tx = make_optimizer(sched, cfg.beta1)
+    d_tx = make_optimizer(sched, cfg.beta1)
+
+    ex_s = jnp.zeros((BATCH, SIZE, SIZE, 3))
+    ex_t = jnp.zeros((BATCH, SIZE, SIZE, 3))
+    state = create_train_state(gen, disc, ex_s, ex_t, jax.random.key(0),
+                               g_tx, d_tx)
+    step = build_train_step(cfg, gen, disc, g_tx, d_tx)
+
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8))
+    tgt = jnp.asarray(rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8))
+    key = jax.random.key(1)
+
+    # Warmup / compile.
+    for _ in range(2):
+        state, m = step(state, src, tgt, key, apply_gp=True)
+    jax.block_until_ready(m)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, src, tgt, key, apply_gp=True)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    train_ips = BATCH * steps / dt
+
+    # Secondary: p50 single-image generator latency (the test.py hot path).
+    @jax.jit
+    def fwd(x):
+        return gen.apply(state.g_params, x)
+
+    one = jnp.zeros((1, SIZE, SIZE, 3))
+    fwd(one).block_until_ready()
+    lats = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        fwd(one).block_until_ready()
+        lats.append(time.perf_counter() - t0)
+    import numpy as np2
+    p50_ms = float(np2.percentile(lats, 50) * 1e3)
+    return train_ips, p50_ms
+
+
+def measure_torch_baseline(steps: int = 3):
+    """The same G+D training arithmetic with the actual reference models on
+    CPU: 1 G fwd, 3 D fwds, GP (second-order), D/G backwards, 2 Adam steps."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cache = json.load(f)
+        if CACHE_KEY in cache:
+            return cache[CACHE_KEY]
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import torch.nn.functional as F
+    from generators.UNet_plusplus import UNet_plusplus
+    from discriminators.PatchDiscriminator import PatchDiscriminator
+    import util as _  # noqa: F401  (only to mirror import-time seeding)
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    gen = UNet_plusplus(3, 3, NF, activation=True)
+    disc = PatchDiscriminator(3, 3, num_filter=NF, return_filters=False,
+                              activation=True)
+    opt_g = torch.optim.Adam(gen.parameters(), lr=1e-3, betas=(0.9, 0.99))
+    opt_d = torch.optim.Adam(disc.parameters(), lr=1e-3, betas=(0.9, 0.99))
+
+    a = torch.randn(BATCH, 3, SIZE, SIZE)
+    b = torch.rand(BATCH, 3, SIZE, SIZE)
+
+    from util import gradient_penalty
+
+    def one_step():
+        fake = gen(a)
+        opt_d.zero_grad()
+        pred_fake = disc(a, fake.detach())
+        pred_real = disc(a, b)
+        loss_d = (F.mse_loss(pred_fake, torch.zeros_like(pred_fake))
+                  + F.mse_loss(pred_real, torch.ones_like(pred_real))) / 2
+        loss_d = loss_d + gradient_penalty(disc, a, b, fake, "cpu", 1,
+                                           lambda_gp=0.01)
+        loss_d.backward(retain_graph=True)
+        opt_d.step()
+        opt_g.zero_grad()
+        pred_fake = disc(a, fake)
+        loss_g = (F.mse_loss(pred_fake, torch.ones_like(pred_fake))
+                  + F.l1_loss(b, fake))
+        loss_g.backward()
+        opt_g.step()
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    ips = BATCH * steps / (time.perf_counter() - t0)
+
+    cache = {}
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cache = json.load(f)
+    cache[CACHE_KEY] = ips
+    with open(CACHE, "w") as f:
+        json.dump(cache, f)
+    return ips
+
+
+def main():
+    train_ips, p50_ms = measure_ours()
+    try:
+        baseline_ips = measure_torch_baseline()
+    except Exception as e:  # reference missing: report raw throughput only
+        baseline_ips = None
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+
+    result = {
+        "metric": "train_images_per_sec_256px_G+D_step",
+        "value": round(train_ips, 3),
+        "unit": "images/s",
+        "vs_baseline": round(train_ips / baseline_ips, 3) if baseline_ips else None,
+        "extra": {
+            "p50_gen_latency_ms": round(p50_ms, 3),
+            "torch_cpu_baseline_images_per_sec": (
+                round(baseline_ips, 3) if baseline_ips else None),
+            "backend": __import__("jax").default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,11 +37,14 @@ def tactile_paths_for(source_path: str, target: str = "rgb") -> Dict[str, str]:
 
     Returns {'rgb': path} for task 1 or {'axes','grids','content'} for task 2.
     """
-    rewritten = (source_path
-                 .replace("source", "tactile")
-                 .replace("s_", "t_")
-                 .replace(".png", ".tiff"))
-    stem, ext = rewritten.rsplit(".", 1)
+    # The reference rewrites the whole path string, which breaks whenever a
+    # parent directory happens to contain "s_" or ".png". We scope the
+    # filename rewrites to the basename — identical results for the layout
+    # the reference documents (data/{split}/source/s_*.png).
+    dirname, basename = os.path.split(source_path)
+    dirname = dirname.replace("source", "tactile")
+    basename = basename.replace("s_", "t_").replace(".png", ".tiff")
+    stem, ext = os.path.join(dirname, basename).rsplit(".", 1)
     if target == "rgb":
         return {"rgb": f"{stem}.{ext}"}
     return {

@@ -1,0 +1,165 @@
+"""Test-time runners — parity with /root/reference/test.py:188-230 and
+two_step_test.py:6-44.
+
+The generator forward is jitted once at a static batch-1 shape and reused for
+every test image; inputs are normalized on-device with the same fused
+preprocessing stage as training (augmentation off).
+
+Faithful reference quirks kept:
+- The test loader builds the generator with activation defaulting to True
+  regardless of the training loss mode (/root/reference/test.py:37 omits the
+  flag — SURVEY.md quirk 4). ``load_model(..., activation=None)`` reproduces
+  that; pass the config's activation explicitly to get the trained-mode head.
+- Checkpoint loading is partial (strict=False analogue, test.py:41).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tactile_gan_tpu.core.config import TrainConfig
+from tactile_gan_tpu.data.dataset import PairedDataset
+from tactile_gan_tpu.eval.metrics import eval_pair
+from tactile_gan_tpu.eval.visualize import (
+    compose_channels, concat_images, print_evaluation, to_pil,
+)
+from tactile_gan_tpu.models.factory import create_generator
+from tactile_gan_tpu.utils.checkpoint import load_checkpoint, restore_partial
+from tactile_gan_tpu.utils.io import mkdir
+
+
+def load_model(model_path: str, cfg: TrainConfig,
+               activation: Optional[bool] = None):
+    """Build the generator and restore its weights from final_model.pth.
+
+    Returns (jitted_forward, params). ``activation=None`` mirrors the
+    reference test loader's always-Tanh default (test.py:37).
+    """
+    act = True if activation is None else activation
+    gen = create_generator(cfg.gen, output_dim=cfg.output_dim, nf=cfg.nf,
+                           activation=act,
+                           compute_dtype=jnp.dtype(cfg.compute_dtype),
+                           use_pallas=cfg.use_pallas)
+    example = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.input_dim))
+    params = gen.init(jax.random.key(0), example)
+    ckpt = load_checkpoint(model_path)
+    params = restore_partial(params, {"params": ckpt["gen"].get("params",
+                                                                ckpt["gen"])})
+
+    @jax.jit
+    def forward(src_f32):
+        return gen.apply(params, src_f32)
+
+    return forward, params
+
+
+def load_arrays(path: str) -> dict:
+    return {
+        "gen": np.load(os.path.join(path, "genloss.npy")),
+        "disc": np.load(os.path.join(path, "discloss.npy")),
+        "l1": np.load(os.path.join(path, "l1loss.npy")),
+        "gp": np.load(os.path.join(path, "gploss.npy")),
+        "per": np.load(os.path.join(path, "perloss.npy")),
+    }
+
+
+def unnormalize(a: np.ndarray) -> np.ndarray:
+    return a / 2.0 + 0.5
+
+
+def _prep_source(src_u8: np.ndarray) -> jax.Array:
+    return jnp.asarray(src_u8[None].astype(np.float32) / 255.0 * 2.0 - 1.0)
+
+
+def _write_case(i: int, src_norm: np.ndarray, tgt: np.ndarray,
+                out: np.ndarray, output_path: str, target_mode: str) -> None:
+    if target_mode == "rgb":
+        b_img, out_img = to_pil(tgt), to_pil(out)
+    else:
+        b_img, out_img = compose_channels(tgt), compose_channels(out)
+    out_img.save(os.path.join(output_path, "out", f"{i + 1}.png"))
+    concat_images(to_pil(unnormalize(src_norm)), b_img, out_img).save(
+        os.path.join(output_path, "sgt", f"{i + 1}.png"))
+    if target_mode != "rgb":
+        b_elm = concat_images(*[to_pil(tgt[:, :, c:c + 1]) for c in range(3)])
+        o_elm = concat_images(*[to_pil(out[:, :, c:c + 1]) for c in range(3)])
+        concat_images(b_elm, o_elm, mode="v").save(
+            os.path.join(output_path, "elm", f"{i + 1}.png"))
+
+
+def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
+               dataset: PairedDataset, output_path: str, target_mode: str,
+               evaluation: bool) -> Tuple[List[float], List[float], List[float]]:
+    for sub in ("out", "sgt", "elm"):
+        mkdir(os.path.join(output_path, sub))
+
+    accuracy, dice, jaccard = [], [], []
+    for i in range(len(dataset)):
+        src_u8, tgt_u8 = dataset.load_pair(i)
+        src = _prep_source(src_u8)
+        out = np.asarray(forward_chain(src))[0]
+        tgt = tgt_u8.astype(np.float32) / 255.0
+        src_norm = np.asarray(src)[0]
+
+        if evaluation:
+            res = eval_pair(tgt, out)
+            accuracy.append(res["accuracy"])
+            dice.append(res["dice"])
+            jaccard.append(res["jaccard"])
+
+        _write_case(i, src_norm, tgt, out, output_path, target_mode)
+    return accuracy, dice, jaccard
+
+
+def test_model(forward, dataset: PairedDataset, output_path: str,
+               evaluation: bool = False, target_mode: str = "rgb"):
+    """Parity with /root/reference/test.py:188-230."""
+    return _run_cases(forward, dataset, output_path, target_mode, evaluation)
+
+
+def test_two_step(forward1, forward2, dataset: PairedDataset,
+                  output_path: str, evaluation: bool = True):
+    """Chained gen2(gen1(x)) evaluation with channel-wise visualization
+    (/root/reference/two_step_test.py:6-44). The stage-1 output (tanh,
+    [-1,1]-convention) feeds stage 2 directly, exactly like the reference."""
+    def chain(src):
+        return forward2(forward1(src))
+    return _run_cases(chain, dataset, output_path, "ch", evaluation)
+
+
+def evaluate_folder(folder: str, work_root: str = ".",
+                    data_override: Optional[str] = None,
+                    progress: bool = True) -> Optional[dict]:
+    """The test.py __main__ flow (/root/reference/test.py:232-257): load
+    params.txt, model, data, loss arrays; plot; run; write eval.txt."""
+    from tactile_gan_tpu.eval.visualize import plot_loss
+
+    model_dir = os.path.join(work_root, "models", folder.split("/")[-1])
+    cfg = TrainConfig.from_params_file(os.path.join(model_dir, "params.txt"))
+
+    forward, _ = load_model(os.path.join(model_dir, "final_model.pth"), cfg)
+
+    data_dir = data_override or cfg.data
+    photo_path = os.path.join(work_root, data_dir, "test", "source")
+    dataset = PairedDataset(photo_path, size=cfg.image_size, mode="test",
+                            aug=False, target=cfg.target)
+
+    output_path = os.path.join(work_root, "Outputs", cfg.folder_save)
+    mkdir(output_path)
+
+    losses = load_arrays(model_dir)
+    plot_loss(losses, cfg.initial_epoch, cfg.total_epochs, output_path)
+
+    accuracy, dice, jaccard = test_model(
+        forward, dataset, output_path, evaluation=True, target_mode=cfg.target)
+    if len(accuracy) > 0:
+        print_evaluation(accuracy, dice, jaccard, output_path)
+        return {"accuracy": float(np.mean(accuracy)),
+                "dice": float(np.mean(dice)),
+                "jaccard": float(np.mean(jaccard))}
+    return None

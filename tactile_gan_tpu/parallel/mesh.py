@@ -1,0 +1,59 @@
+"""Device mesh + shardings.
+
+The reference's only parallelism hook is a never-enabled nn.DataParallel wrap
+(/root/reference/generators/generators.py:22-23 — SURVEY.md section 2.2).
+Here data parallelism is first-class and TPU-native: a 1-D ``('data',)``
+jax.sharding.Mesh, batches split along it, parameters/optimizer state
+replicated. The jitted train step then runs SPMD — XLA inserts the gradient
+all-reduce (psum) over ICI automatically from the sharding constraints; there
+is no NCCL-style communication code to write.
+
+The same module serves 1 real TPU chip, a v5e slice, and the CPU-simulated
+8-device mesh the tests use (jax_num_cpu_devices=8).
+
+A ``model`` mesh axis is accepted for future tensor-parallel shardings of the
+widest conv layers; at the reference's model sizes (16*nf channels max) DP is
+the only profitable axis, so model=1 everywhere today.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int = 0, n_model: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    if n_data <= 0:
+        n_data = len(devs) // n_model
+    need = n_data * n_model
+    if need > len(devs):
+        raise ValueError(f"mesh {n_data}x{n_model} needs {need} devices, "
+                         f"have {len(devs)}")
+    grid = np.array(devs[:need]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays) -> tuple:
+    """Place host arrays onto the mesh, batch dim split over 'data'."""
+    s = batch_sharding(mesh)
+    out = tuple(jax.device_put(a, s) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def shard_state(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a parameter/optimizer pytree across the mesh."""
+    s = replicate_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

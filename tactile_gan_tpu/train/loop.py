@@ -1,0 +1,194 @@
+"""Training orchestration — the reference Train_GAN class
+(/root/reference/train.py:22-227) rebuilt around one jitted step.
+
+Artifacts are format-compatible:
+- ``models/{folder_save}/final_model.pth``          (msgpack pytree, same keys)
+- ``models/{folder_save}/{gen,disc,l1,per,gp}loss.npy``  (per-epoch means)
+- ``models/{folder_save}/params.txt``               (same JSON schema)
+- ``checkpoints/{folder_save}/model_{epoch}.pth``   (periodic, same gating)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from tactile_gan_tpu.core import rng as rng_streams
+from tactile_gan_tpu.core.config import TrainConfig
+from tactile_gan_tpu.data.dataset import PairedDataset
+from tactile_gan_tpu.models.factory import create_discriminator, create_generator
+from tactile_gan_tpu.models.vgg import load_vgg_features, vgg_features_apply
+from tactile_gan_tpu.parallel.mesh import make_mesh, shard_batch, shard_state
+from tactile_gan_tpu.train.schedule import multistep_lr
+from tactile_gan_tpu.train.state import TrainState, create_train_state, make_optimizer
+from tactile_gan_tpu.train.step import build_train_step
+from tactile_gan_tpu.utils.checkpoint import (
+    load_checkpoint, restore_partial, save_checkpoint,
+)
+from tactile_gan_tpu.utils.io import mkdir
+
+import jax.numpy as jnp
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, dataset: PairedDataset,
+                 mesh=None, use_mesh: bool = True):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.mesh = mesh if mesh is not None else (
+            make_mesh(cfg.mesh_data) if use_mesh else None)
+
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
+        self.gen_model = create_generator(
+            cfg.gen, output_dim=cfg.output_dim, nf=cfg.nf,
+            activation=cfg.activation, compute_dtype=compute_dtype,
+            use_pallas=cfg.use_pallas)
+        self.disc_model = create_discriminator(
+            "patch", nf=cfg.nf, activation=cfg.activation,
+            compute_dtype=compute_dtype, use_pallas=cfg.use_pallas)
+
+        vgg_apply = vgg_params = None
+        if cfg.lambda_per != 0 and cfg.version == 1:
+            vgg_apply = vgg_features_apply
+            vgg_params = load_vgg_features(cfg.vgg_weights)
+
+        # Batching geometry: static step shapes. With enough data we drop the
+        # last partial batch (the compiled-shape analogue of the reference's
+        # ragged final batch); tiny datasets pad-and-repeat instead.
+        n = len(dataset)
+        if n == 0:
+            raise ValueError(f"no images found under {dataset.img_dir}")
+        self.pad_mode = n < cfg.batch_size or not cfg.drop_last
+        if self.pad_mode:
+            self.steps_per_epoch = -(-n // cfg.batch_size)
+        else:
+            self.steps_per_epoch = n // cfg.batch_size
+
+        # Resume first (it defines the scheduler's step offset — the
+        # reference restarts its scheduler on resume, train.py:54-77).
+        restored = None
+        if cfg.continue_training:
+            path = os.path.join(cfg.work_root, "models", cfg.folder_load,
+                                "final_model.pth")
+            restored = load_checkpoint(path)
+        step_offset = int(restored["step"]) if restored else 0
+
+        schedule = multistep_lr(cfg.lr, cfg.epoch_constant, cfg.total_epochs,
+                                self.steps_per_epoch, step_offset=step_offset)
+        self.g_tx = make_optimizer(schedule, cfg.beta1)
+        self.d_tx = make_optimizer(schedule, cfg.beta1)
+
+        root = rng_streams.root_key(cfg.seed)
+        self.train_key = rng_streams.stream(root, rng_streams.STREAM_DATA_ORDER)
+        init_key = rng_streams.stream(root, rng_streams.STREAM_PARAMS_G)
+        example_src = jnp.zeros(
+            (cfg.batch_size, cfg.image_size, cfg.image_size, cfg.input_dim),
+            jnp.float32)
+        example_tgt = jnp.zeros(
+            (cfg.batch_size, cfg.image_size, cfg.image_size, cfg.output_dim),
+            jnp.float32)
+        self.state = create_train_state(self.gen_model, self.disc_model,
+                                        example_src, example_tgt, init_key,
+                                        self.g_tx, self.d_tx)
+        if restored is not None:
+            self.state = TrainState(
+                g_params=restore_partial(self.state.g_params, restored["gen"]),
+                d_params=restore_partial(self.state.d_params, restored["disc"]),
+                g_opt_state=restore_partial(self.state.g_opt_state,
+                                            restored["optimizerG_state_dict"]),
+                d_opt_state=restore_partial(self.state.d_opt_state,
+                                            restored["optimizerD_state_dict"]),
+                step=jnp.asarray(step_offset, jnp.int32),
+            )
+        if self.mesh is not None:
+            self.state = shard_state(self.mesh, self.state)
+
+        self.step_fn = build_train_step(
+            cfg, self.gen_model, self.disc_model, self.g_tx, self.d_tx,
+            vgg_apply=vgg_apply, vgg_params=vgg_params)
+
+        # Per-epoch loss curves (reference train.py:64-68).
+        self.gen_loss, self.disc_loss = [], []
+        self.l1_loss, self.per_loss, self.gp_loss = [], [], []
+
+    # ------------------------------------------------------------------
+
+    def train(self, progress: bool = True) -> None:
+        cfg = self.cfg
+        for i in range(cfg.total_epochs):
+            epoch = i + cfg.initial_epoch
+            apply_gp = (cfg.reg_every != 0 and epoch % cfg.reg_every == 0
+                        and cfg.lambda_gp != 0)
+            t0 = time.time()
+            metrics = []
+            for src_u8, tgt_u8, _ in self.dataset.batches(
+                    cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
+                    drop_last=not self.pad_mode, pad_to_batch=self.pad_mode,
+                    threads=cfg.threads):
+                if self.mesh is not None:
+                    src_u8, tgt_u8 = shard_batch(self.mesh, src_u8, tgt_u8)
+                self.state, m = self.step_fn(self.state, src_u8, tgt_u8,
+                                             self.train_key, apply_gp=apply_gp)
+                metrics.append(m)
+
+            # One host sync per epoch (the reference syncs 5x per step).
+            fetched = jax.device_get(metrics)
+            means = {k: float(np.mean([getattr(m, k) for m in fetched]))
+                     for k in ("loss_d", "loss_g", "loss_l1", "loss_gp",
+                               "loss_per")}
+            self.disc_loss.append(means["loss_d"])
+            self.gen_loss.append(means["loss_g"])
+            self.l1_loss.append(means["loss_l1"])
+            self.gp_loss.append(means["loss_gp"])
+            self.per_loss.append(means["loss_per"])
+
+            if progress:
+                dt = time.time() - t0
+                print(f"==training epoch {epoch}")
+                print(f"\tloss functions => D:{means['loss_d']:.5f}, "
+                      f"G:{means['loss_g']:.5f}, L1:{means['loss_l1']:.5f}, "
+                      f"gp:{means['loss_gp']:.5f}, per:{means['loss_per']:.5f}")
+                print(f"\ttook {dt:.2f} seconds")
+
+            if (cfg.checkpoint_interval != -1
+                    and epoch % cfg.checkpoint_interval == 0):
+                self.save_model(os.path.join(
+                    cfg.work_root, "checkpoints", cfg.folder_save,
+                    f"model_{epoch}.pth"))
+
+    # ------------------------------------------------------------------
+    # Artifacts (names match /root/reference/train.py:197-227).
+    # ------------------------------------------------------------------
+
+    def save_model(self, modelpath: str) -> None:
+        state = jax.device_get(self.state)
+        save_checkpoint(modelpath, gen=state.g_params, disc=state.d_params,
+                        opt_g=state.g_opt_state, opt_d=state.d_opt_state,
+                        step=int(state.step))
+
+    def save_arrays(self, path: str) -> None:
+        np.save(os.path.join(path, "genloss"), np.asarray(self.gen_loss))
+        np.save(os.path.join(path, "discloss"), np.asarray(self.disc_loss))
+        np.save(os.path.join(path, "l1loss"), np.asarray(self.l1_loss))
+        np.save(os.path.join(path, "perloss"), np.asarray(self.per_loss))
+        np.save(os.path.join(path, "gploss"), np.asarray(self.gp_loss))
+
+    def save_hyper_params(self, folderpath: str) -> None:
+        self.cfg.save_params(folderpath)
+
+    def run_and_save(self, progress: bool = True) -> str:
+        """Full train + artifact dump, like the reference __main__
+        (/root/reference/train.py:259-277). Returns the model dir."""
+        cfg = self.cfg
+        mkdir(os.path.join(cfg.work_root, "checkpoints", cfg.folder_save))
+        save_path = cfg.models_dir()
+        mkdir(save_path)
+        self.train(progress=progress)
+        self.save_model(os.path.join(save_path, "final_model.pth"))
+        self.save_arrays(save_path)
+        self.save_hyper_params(save_path)
+        return save_path

@@ -1,0 +1,155 @@
+"""The single jitted G+D train step.
+
+One compiled XLA program covers everything the reference does per iteration
+(/root/reference/train.py:99-168): on-device preprocessing/augmentation, the
+generator forward, three discriminator forwards (fake-detached, real, and the
+post-update fake for G), the optional gradient penalty (second-order), both
+backward passes and both Adam updates — versus the reference's eager graph
+with 5 host syncs per iteration (SURVEY.md section 3.1). Losses come back as
+a stacked device array fetched once per epoch.
+
+The ``reg_every`` gradient-penalty gating is per *epoch*
+(/root/reference/train.py:123); it is a static argument, so XLA compiles two
+step variants (GP on/off) and the loop picks one per epoch.
+
+Reference-faithful details:
+- D loss = (fake + real)/2; GP added on top (train.py:114-128).
+- The G step scores fake images against the *updated* discriminator
+  (train.py:135-140), as does the version-2 real-feature pass (train.py:156).
+- One label-smoothing noise draw per step, shared by the D-real target and
+  the G target (the reference caches one tensor and reuses it for both —
+  generators.py:52-63; we re-sample per step under a PRNG key, SURVEY quirk 3).
+- Version-2 perceptual features are stop_gradient-ed on both sides, so the
+  term is logged but (like the reference's detached hooks) trains nothing
+  (SURVEY quirk 2). Set ``detach_pan_features=False`` to make it train.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tactile_gan_tpu.core import rng as rng_streams
+from tactile_gan_tpu.core.config import TrainConfig
+from tactile_gan_tpu.data.augment import preprocess_batch
+from tactile_gan_tpu.losses.gan_loss import gan_loss, real_target
+from tactile_gan_tpu.losses.gradient_penalty import gradient_penalty
+from tactile_gan_tpu.losses.perceptual import l1_loss, pan_loss, vgg_perceptual_loss
+from tactile_gan_tpu.train.state import TrainState
+
+
+class StepMetrics(NamedTuple):
+    loss_d: jax.Array
+    loss_g: jax.Array
+    loss_l1: jax.Array
+    loss_gp: jax.Array
+    loss_per: jax.Array
+
+
+def build_train_step(
+    cfg: TrainConfig,
+    gen_model,
+    disc_model,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    vgg_apply: Optional[Callable] = None,
+    vgg_params=None,
+    detach_pan_features: bool = True,
+):
+    """Returns train_step(state, src_u8, tgt_u8, key, *, apply_gp) (jitted)."""
+
+    augment = not cfg.no_aug
+    mode = cfg.loss
+    smoothing = cfg.label_smoothing
+
+    def disc_logits(d_params, img, mask):
+        logits, _ = disc_model.apply(d_params, img, mask)
+        return logits
+
+    def _step(state: TrainState, src_u8, tgt_u8, key, apply_gp: bool):
+        k_step = rng_streams.per_step(key, state.step)
+        k_aug = rng_streams.stream(k_step, rng_streams.STREAM_AUGMENT)
+        k_label = rng_streams.stream(k_step, rng_streams.STREAM_LABEL_SMOOTHING)
+        k_gp = rng_streams.stream(k_step, rng_streams.STREAM_GP_ALPHA)
+
+        real_a, real_b = preprocess_batch(src_u8, tgt_u8, k_aug, augment=augment)
+
+        # Generator forward once for the D step. The recomputation inside
+        # g_loss_fn is identical (same params, same input) and CSEs away.
+        fake_b = gen_model.apply(state.g_params, real_a)
+
+        # ---------------- D update ----------------
+        def d_loss_fn(d_params):
+            pred_fake, _ = disc_model.apply(d_params, real_a,
+                                            jax.lax.stop_gradient(fake_b))
+            pred_real, _ = disc_model.apply(d_params, real_a, real_b)
+            loss_fake = gan_loss(pred_fake, False, mode=mode,
+                                 for_discriminator=True)
+            loss_real = gan_loss(pred_real, True, mode=mode,
+                                 for_discriminator=True,
+                                 label_smoothing=smoothing, key=k_label)
+            loss_d = (loss_fake + loss_real) / 2.0
+            if apply_gp and cfg.lambda_gp != 0:
+                gp = gradient_penalty(
+                    functools.partial(disc_logits, d_params),
+                    real_a, real_b, jax.lax.stop_gradient(fake_b), k_gp,
+                    version=cfg.version, lambda_gp=cfg.lambda_gp)
+            else:
+                gp = jnp.float32(0.0)
+            return loss_d + gp, (loss_d, gp)
+
+        (_, (loss_d, gp)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state,
+                                             state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---------------- G update (against the updated D) ----------------
+        def g_loss_fn(g_params):
+            fake = gen_model.apply(g_params, real_a)
+            pred_fake, feats_fake = disc_model.apply(d_params, real_a, fake)
+            loss_gan = gan_loss(pred_fake, True, mode=mode,
+                                for_discriminator=False,
+                                label_smoothing=smoothing, key=k_label)
+            loss_l1 = l1_loss(real_b, fake)
+            loss_g = loss_gan + loss_l1 * cfg.lambda_a
+
+            loss_per = jnp.float32(0.0)
+            if cfg.lambda_per != 0:
+                if cfg.version == 1:
+                    loss_per = vgg_perceptual_loss(
+                        vgg_apply, vgg_params, real_b, fake,
+                        weights=cfg.w_per) * cfg.lambda_per
+                else:
+                    _, feats_real = disc_model.apply(d_params, real_a, real_b)
+                    if detach_pan_features:
+                        feats_fake_used = jax.tree.map(jax.lax.stop_gradient,
+                                                       feats_fake)
+                    else:
+                        feats_fake_used = feats_fake
+                    feats_real = jax.tree.map(jax.lax.stop_gradient, feats_real)
+                    loss_per = pan_loss(feats_real, feats_fake_used,
+                                        weights=cfg.w_per) * cfg.lambda_per
+                loss_g = loss_g + loss_per
+            return loss_g, (loss_gan, loss_l1, loss_per)
+
+        (_, (loss_gan, loss_l1, loss_per)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
+                                             state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        new_state = TrainState(
+            g_params=g_params, d_params=d_params,
+            g_opt_state=g_opt_state, d_opt_state=d_opt_state,
+            step=state.step + 1,
+        )
+        metrics = StepMetrics(loss_d=loss_d, loss_g=loss_gan, loss_l1=loss_l1,
+                              loss_gp=gp, loss_per=loss_per)
+        return new_state, metrics
+
+    return jax.jit(_step, static_argnames=("apply_gp",), donate_argnums=(0,))

@@ -1,0 +1,71 @@
+"""Checkpoint IO.
+
+Structure-compatible with the reference's torch.save dict
+(/root/reference/train.py:203-209): the same four top-level keys
+{'gen', 'disc', 'optimizerG_state_dict', 'optimizerD_state_dict'} (plus
+'step'), with each value a plain nested dict of numpy arrays (flax
+state-dict form), serialized with msgpack. The file keeps the reference's
+``final_model.pth`` name so directory layouts are interchangeable.
+
+Writes are atomic (tmp file + rename) — the reference has no crash safety.
+``restore_partial`` is the strict=False analogue (/root/reference/test.py:41):
+restore by key intersection, keep the template's value for anything missing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_plain(tree: Any) -> Any:
+    return serialization.to_state_dict(
+        jax.tree.map(lambda x: np.asarray(x), tree))
+
+
+def save_checkpoint(path: str, *, gen, disc, opt_g, opt_d, step: int) -> None:
+    payload = {
+        "gen": _to_plain(gen),
+        "disc": _to_plain(disc),
+        "optimizerG_state_dict": _to_plain(opt_g),
+        "optimizerD_state_dict": _to_plain(opt_d),
+        "step": int(step),
+    }
+    blob = serialization.msgpack_serialize(payload)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def restore_partial(template: Any, state_dict: Any) -> Any:
+    """Recursively merge ``state_dict`` into the structure of ``template``,
+    keeping template leaves where the checkpoint has no matching key — the
+    functional analogue of load_state_dict(strict=False)."""
+    if isinstance(template, dict) or hasattr(template, "items"):
+        plain_template = serialization.to_state_dict(template)
+        merged = _merge(plain_template, state_dict)
+        return serialization.from_state_dict(template, merged)
+    return serialization.from_state_dict(template, state_dict)
+
+
+def _merge(template: Any, incoming: Any) -> Any:
+    if not isinstance(template, dict):
+        return incoming if incoming is not None else template
+    out = {}
+    for k, v in template.items():
+        if isinstance(incoming, dict) and k in incoming:
+            out[k] = _merge(v, incoming[k])
+        else:
+            out[k] = v
+    return out

@@ -1,0 +1,28 @@
+#!/usr/bin/env python
+"""Inference/eval CLI — parity with /root/reference/test.py:232-257: the only
+required flag is --folder; every behavior is driven by the training-time
+params.txt. Writes Outputs/{folder_save}/{out,sgt,elm}/, loss.png, eval.txt
+and the three metric distribution plots.
+"""
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--folder", default="pix2obj",
+                        help="model folder (under ./models) containing params.txt")
+    parser.add_argument("--work_root", default=os.getcwd(),
+                        help="directory holding models/ and Outputs/")
+    parser.add_argument("--data", default=None,
+                        help="optional dataset-dir override")
+    args = parser.parse_args(argv)
+
+    from tactile_gan_tpu.eval.runner import evaluate_folder
+    evaluate_folder(args.folder, work_root=args.work_root,
+                    data_override=args.data)
+
+
+if __name__ == "__main__":
+    main()

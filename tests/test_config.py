@@ -1,0 +1,94 @@
+"""Config/flag-surface tests: reference CLI compatibility contract."""
+
+import json
+
+import pytest
+
+from tactile_gan_tpu.core.config import (
+    TrainConfig, build_arg_parser, config_from_args,
+)
+
+
+def test_defaults_match_reference():
+    """Code defaults are ground truth (SURVEY.md quirk 7), from
+    /root/reference/train.py:231-257."""
+    cfg = TrainConfig()
+    assert cfg.data == "./data"
+    assert cfg.batch_size == 4
+    assert cfg.total_epochs == 135
+    assert cfg.epoch_constant == 25
+    assert cfg.lr == 0.001
+    assert cfg.beta1 == 0.9
+    assert cfg.lambda_a == 1.0
+    assert cfg.lambda_gp == 0.01
+    assert cfg.lambda_per == 1.0
+    assert cfg.w_per == (0.0, 0.1, 0.3, 0.6)
+    assert cfg.gen == "UNet++"
+    assert cfg.nf == 64
+    assert cfg.loss == "ls"
+    assert cfg.target == "rgb"
+    assert cfg.version == 1
+    assert cfg.checkpoint_interval == -1
+    assert cfg.reg_every == 1
+    assert cfg.seed == 21  # reference util.py:8-11
+
+
+@pytest.mark.parametrize("loss,expected", [
+    ("ls", True), ("ce", False), ("w", False), ("hinge", False),
+])
+def test_activation_truth_table(loss, expected):
+    """/root/reference/train.py:33 — code wins over its own comment."""
+    assert TrainConfig(loss=loss).activation is expected
+
+
+def test_return_filter_follows_version():
+    assert TrainConfig(version=1).return_filter is False
+    assert TrainConfig(version=2).return_filter is True
+
+
+def test_cli_parses_reference_flags():
+    cfg = config_from_args([
+        "--data", "./mydata", "--batch_size", "8", "--gen", "BCDUNet",
+        "--loss", "hinge", "--target", "ch", "-v", "2",
+        "--lambda_gp", "0.1", "--w_per", "1", "2", "3", "4",
+        "--no_label_smoothing", "--no_aug", "--reg_every", "16",
+        "--folder_save", "exp1",
+    ])
+    assert cfg.gen == "BCDUNet" and cfg.loss == "hinge"
+    assert cfg.version == 2 and cfg.target == "ch"
+    assert cfg.w_per == (1.0, 2.0, 3.0, 4.0)
+    assert cfg.no_label_smoothing and cfg.no_aug
+    assert cfg.label_smoothing is False
+    assert cfg.reg_every == 16 and cfg.folder_save == "exp1"
+
+
+def test_cli_rejects_invalid_choices():
+    parser = build_arg_parser()
+    with pytest.raises(SystemExit):
+        parser.parse_args(["--gen", "ResNet"])
+    with pytest.raises(SystemExit):
+        parser.parse_args(["--loss", "relativistic"])
+    with pytest.raises(SystemExit):
+        parser.parse_args(["--version", "3"])
+
+
+def test_work_root_derivation():
+    """checkpoints/models live next to data: data.rsplit('/',1)[0]
+    (/root/reference/train.py:266-272)."""
+    assert TrainConfig(data="./data").work_root == "."
+    assert TrainConfig(data="/scratch/ds/data").work_root == "/scratch/ds"
+    assert TrainConfig(data="data").work_root == "."
+
+
+def test_params_dict_reference_keyset(tmp_path):
+    cfg = TrainConfig()
+    d = cfg.to_params_dict()
+    for k in TrainConfig._REFERENCE_KEYS:
+        assert k in d
+    assert isinstance(d["w_per"], list)
+    # round-trip through file
+    cfg.save_params(str(tmp_path))
+    with open(tmp_path / "params.txt") as f:
+        loaded = json.load(f)
+    assert loaded == d
+    assert TrainConfig.from_params_file(str(tmp_path / "params.txt")) == cfg

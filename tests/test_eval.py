@@ -1,0 +1,169 @@
+"""Eval tests: fuzzy/binary metric goldens vs the reference implementation,
+otsu threshold parity, visualization helpers, and the full test.py artifact
+tree from a trained tiny model (integration)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tactile_gan_tpu.eval.metrics import eval_pair, otsu_threshold
+from tactile_gan_tpu.eval.visualize import (
+    compose_channels, concat_images, to_pil,
+)
+
+from test_data import make_dataset
+from test_train import build_dataset, tiny_cfg
+
+RNG = np.random.default_rng(23)
+
+
+# ---------------------------------------------------------------------------
+# Metric goldens vs the reference (pure numpy/torch — CPU-safe).
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_metrics_match_reference(reference_available):
+    if not reference_available:
+        pytest.skip("reference checkout unavailable")
+    import torch
+    from torch_ref import import_ref_test
+    ref_test = import_ref_test()
+
+    r = RNG.uniform(size=(3, 16, 16)).astype(np.float32)
+    o = RNG.uniform(size=(3, 16, 16)).astype(np.float32)
+    theirs = ref_test.eval_pair(torch.tensor(r), torch.tensor(o), fuzzy=True)
+    ours = eval_pair(r, o, fuzzy=True)
+    for k in ("accuracy", "dice", "jaccard"):
+        np.testing.assert_allclose(ours[k], float(theirs[k]), rtol=1e-5)
+
+
+def test_binary_metrics_match_reference(reference_available):
+    if not reference_available:
+        pytest.skip("reference checkout unavailable")
+    import torch
+    from torch_ref import import_ref_test
+    ref_test = import_ref_test()
+
+    r = RNG.uniform(size=(3, 16, 16)).astype(np.float32)
+    o = RNG.uniform(size=(3, 16, 16)).astype(np.float32)
+    theirs = ref_test.eval_pair(torch.tensor(r), torch.tensor(o), fuzzy=False,
+                                thresh=0.4)
+    ours = eval_pair(r, o, fuzzy=False, thresh=0.4)
+    for k in ("accuracy", "dice", "jaccard"):
+        np.testing.assert_allclose(ours[k], float(theirs[k]), rtol=1e-6)
+
+
+def test_otsu_matches_reference(reference_available):
+    if not reference_available:
+        pytest.skip("reference checkout unavailable")
+    from torch_ref import import_ref_util
+    ref_util = import_ref_util()
+    img = np.concatenate([RNG.uniform(0.0, 0.3, 500),
+                          RNG.uniform(0.7, 1.0, 500)])
+    assert otsu_threshold(img) == pytest.approx(
+        float(ref_util.otsu_threshold(img)), abs=1e-9)
+
+
+def test_fuzzy_identical_is_perfect():
+    r = RNG.uniform(size=(3, 8, 8)).astype(np.float32)
+    res = eval_pair(r, r, fuzzy=True)
+    assert res["accuracy"] == pytest.approx(1.0)
+    assert res["dice"] == pytest.approx(1.0)
+    assert res["jaccard"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Visualization helpers.
+# ---------------------------------------------------------------------------
+
+def test_concat_images():
+    a = Image.new("RGB", (4, 6), (255, 0, 0))
+    b = Image.new("RGB", (4, 6), (0, 255, 0))
+    h = concat_images(a, b, mode="h")
+    v = concat_images(a, b, mode="v")
+    assert h.size == (8, 6) and v.size == (4, 12)
+    assert h.getpixel((0, 0)) == (255, 0, 0)
+    assert h.getpixel((5, 0)) == (0, 255, 0)
+
+
+def test_compose_channels_shapes_and_colors():
+    out = np.zeros((16, 16, 3), np.float32)
+    out[:, :, 1] = 1.0  # full grid layer
+    img = compose_channels(out)
+    assert img.size == (16, 16)
+    # axes channel 0 everywhere → inverted base white; grid pasted blue on top
+    assert img.getpixel((3, 3)) == (0, 0, 255)
+
+
+def test_to_pil_clamps():
+    arr = np.array([[[-0.5], [1.5]]], np.float32)
+    img = to_pil(arr)
+    assert list(img.getdata()) == [0, 255]
+
+
+# ---------------------------------------------------------------------------
+# Integration: train tiny model → test.py-equivalent artifact tree.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("target", ["rgb", "ch"])
+def test_full_eval_artifact_tree(tmp_path, target):
+    from tactile_gan_tpu.eval.runner import evaluate_folder
+    from tactile_gan_tpu.train import Trainer
+
+    cfg = tiny_cfg(tmp_path, target=target, total_epochs=1,
+                   folder_save="evalrun", folder_load="evalrun")
+    ds = build_dataset(cfg, n=4)
+    tr = Trainer(cfg, ds, use_mesh=False)
+    tr.run_and_save(progress=False)
+
+    # test split
+    make_dataset(cfg.data.replace("train", "train"), n=2,
+                 size=cfg.image_size, target=target)
+    test_src = os.path.join(cfg.data, "train", "source")  # reuse as test data
+    os.makedirs(os.path.join(cfg.data, "test"), exist_ok=True)
+    if not os.path.exists(os.path.join(cfg.data, "test", "source")):
+        os.symlink(os.path.join(cfg.data, "train", "source"),
+                   os.path.join(cfg.data, "test", "source"))
+        os.symlink(os.path.join(cfg.data, "train", "tactile"),
+                   os.path.join(cfg.data, "test", "tactile"))
+
+    metrics = evaluate_folder("evalrun", work_root=cfg.work_root)
+    assert metrics is not None
+    out_dir = os.path.join(cfg.work_root, "Outputs", "evalrun")
+    assert os.path.exists(os.path.join(out_dir, "eval.txt"))
+    assert os.path.exists(os.path.join(out_dir, "loss.png"))
+    for dist in ("accuracy", "dice", "jaccard"):
+        assert os.path.exists(os.path.join(out_dir, f"{dist}_dist.png"))
+    n_out = len(os.listdir(os.path.join(out_dir, "out")))
+    assert n_out == 4
+    assert len(os.listdir(os.path.join(out_dir, "sgt"))) == 4
+    if target == "ch":
+        assert len(os.listdir(os.path.join(out_dir, "elm"))) == 4
+    # metrics are sane numbers
+    assert 0.0 <= metrics["dice"] <= 1.0
+
+
+def test_two_step_runner(tmp_path):
+    """Chain two tiny generators: rgb-stage then ch-stage."""
+    from tactile_gan_tpu.eval.runner import load_model, test_two_step
+    from tactile_gan_tpu.train import Trainer
+
+    cfg1 = tiny_cfg(tmp_path, target="rgb", total_epochs=1,
+                    folder_save="s1", folder_load="s1")
+    ds1 = build_dataset(cfg1, n=2)
+    Trainer(cfg1, ds1, use_mesh=False).run_and_save(progress=False)
+
+    cfg2 = tiny_cfg(tmp_path, target="ch", total_epochs=1,
+                    folder_save="s2", folder_load="s2")
+    ds2 = build_dataset(cfg2, n=2)
+    Trainer(cfg2, ds2, use_mesh=False).run_and_save(progress=False)
+
+    f1, _ = load_model(os.path.join(cfg1.models_dir(), "final_model.pth"), cfg1)
+    f2, _ = load_model(os.path.join(cfg2.models_dir(), "final_model.pth"), cfg2)
+
+    out_dir = os.path.join(str(tmp_path), "two_step_out")
+    acc, dice, jac = test_two_step(f1, f2, ds2, out_dir, evaluation=True)
+    assert len(acc) == 2
+    assert os.path.exists(os.path.join(out_dir, "out", "1.png"))
+    assert os.path.exists(os.path.join(out_dir, "elm", "2.png"))

@@ -1,0 +1,98 @@
+"""Data-parallel sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md section 4: "distributed without a cluster")."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tactile_gan_tpu.core.config import TrainConfig
+from tactile_gan_tpu.models.factory import create_discriminator, create_generator
+from tactile_gan_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, shard_batch, shard_state,
+)
+from tactile_gan_tpu.train.schedule import multistep_lr
+from tactile_gan_tpu.train.state import create_train_state, make_optimizer
+from tactile_gan_tpu.train.step import build_train_step
+
+RNG = np.random.default_rng(11)
+
+
+def _setup(cfg, batch):
+    gen = create_generator(cfg.gen, cfg.output_dim, cfg.nf, cfg.activation)
+    disc = create_discriminator("patch", cfg.nf, cfg.activation)
+    sched = multistep_lr(cfg.lr, cfg.epoch_constant, cfg.total_epochs, 1)
+    g_tx, d_tx = make_optimizer(sched, cfg.beta1), make_optimizer(sched, cfg.beta1)
+    ex = jnp.zeros((batch, cfg.image_size, cfg.image_size, 3))
+    state = create_train_state(gen, disc, ex, ex, jax.random.key(0), g_tx, d_tx)
+    step = build_train_step(cfg, gen, disc, g_tx, d_tx)
+    return state, step
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    mesh = make_mesh(4)
+    assert mesh.devices.shape == (4, 1)
+    with pytest.raises(ValueError):
+        make_mesh(16)
+
+
+def test_shard_batch_splits_batch_dim():
+    mesh = make_mesh(8)
+    x = np.zeros((8, 4, 4, 3), np.float32)
+    sharded = shard_batch(mesh, x)
+    assert sharded.sharding == batch_sharding(mesh)
+    assert sharded.addressable_shards[0].data.shape == (1, 4, 4, 3)
+    assert len(sharded.addressable_shards) == 8
+
+
+def test_dp_train_step_matches_single_device():
+    """One step on the 8-device mesh must produce the same losses and params
+    as the same step single-device (same inputs, same keys)."""
+    cfg = TrainConfig(gen="UNet++", nf=4, batch_size=8, image_size=32,
+                      loss="ls", lambda_per=0.0, lambda_gp=0.01,
+                      compute_dtype="float32", no_aug=True)
+    src = RNG.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8)
+    tgt = RNG.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8)
+    key = jax.random.key(3)
+
+    state1, step1 = _setup(cfg, 8)
+    ref_state, ref_m = step1(state1, jnp.asarray(src), jnp.asarray(tgt), key,
+                             apply_gp=True)
+
+    mesh = make_mesh(8)
+    state2, step2 = _setup(cfg, 8)
+    state2 = shard_state(mesh, state2)
+    s_src, s_tgt = shard_batch(mesh, src, tgt)
+    dp_state, dp_m = step2(state2, s_src, s_tgt, key, apply_gp=True)
+
+    for k in ("loss_d", "loss_g", "loss_l1", "loss_gp"):
+        np.testing.assert_allclose(float(getattr(ref_m, k)),
+                                   float(getattr(dp_m, k)), rtol=2e-4,
+                                   err_msg=k)
+    ref_leaves = jax.tree.leaves(jax.device_get(ref_state.g_params))
+    dp_leaves = jax.tree.leaves(jax.device_get(dp_state.g_params))
+    for a, b in zip(ref_leaves, dp_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dp_params_stay_replicated():
+    """After a step, parameters must still be fully replicated (XLA inserts
+    the gradient all-reduce; no divergence across devices)."""
+    cfg = TrainConfig(gen="BCDUNet", nf=4, batch_size=8, image_size=32,
+                      loss="hinge", lambda_per=0.0, lambda_gp=0.0,
+                      compute_dtype="float32", no_aug=False)
+    mesh = make_mesh(8)
+    state, step = _setup(cfg, 8)
+    state = shard_state(mesh, state)
+    src = RNG.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8)
+    tgt = RNG.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8)
+    s_src, s_tgt = shard_batch(mesh, src, tgt)
+    state, _ = step(state, s_src, s_tgt, jax.random.key(0), apply_gp=False)
+
+    leaf = jax.tree.leaves(state.g_params)[0]
+    assert leaf.sharding.is_fully_replicated
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)

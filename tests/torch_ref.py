@@ -12,14 +12,66 @@ if "/root/reference" not in sys.path:
     sys.path.insert(0, "/root/reference")
 
 
+def _stub(name: str, **attrs) -> None:
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+
+
+def _install_stubs() -> None:
+    """The reference imports torchvision and albumentations at module top;
+    neither exists here and neither is needed for the code paths we golden
+    against — stub them."""
+    _stub("torchvision")
+    _stub("torchvision.utils", save_image=lambda *a, **k: None)
+
+    class _ToTensor:
+        def __call__(self, pic):
+            arr = np.asarray(pic, dtype=np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return torch.tensor(arr.transpose(2, 0, 1))
+
+    class _ToPILImage:
+        def __call__(self, t):
+            from PIL import Image
+            arr = (np.clip(t.detach().numpy(), 0, 1) * 255).astype(np.uint8)
+            if arr.ndim == 3:
+                arr = arr.transpose(1, 2, 0)
+            return Image.fromarray(arr)
+
+    _stub("torchvision.transforms", ToTensor=_ToTensor, ToPILImage=_ToPILImage,
+          Compose=lambda fns: fns, Normalize=lambda *a, **k: None)
+    _stub("albumentations", Compose=lambda *a, **k: None,
+          HorizontalFlip=lambda **k: None, Affine=lambda **k: None)
+    sys.modules["torchvision"].utils = sys.modules["torchvision.utils"]
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+
+
 def import_ref_util():
-    """Import the reference util module. It imports torchvision at module top
-    (only used inside VGGPerceptualLoss.__init__, which we never call on CPU);
-    this environment has no torchvision, so stub it."""
-    if "torchvision" not in sys.modules:
-        sys.modules["torchvision"] = types.ModuleType("torchvision")
+    """Import the reference util module (torchvision only used inside
+    VGGPerceptualLoss.__init__, which we never call on CPU)."""
+    _install_stubs()
     import util as ref_util
     return ref_util
+
+
+def import_ref_test():
+    """Load the reference test.py under a collision-free module name (our
+    repo root has its own test.py)."""
+    import importlib.util
+    _install_stubs()
+    if "ref_test" in sys.modules:
+        return sys.modules["ref_test"]
+    spec = importlib.util.spec_from_file_location(
+        "ref_test", "/root/reference/test.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_test"] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def randomize_(module: torch.nn.Module, seed: int = 0) -> None:
