@@ -47,9 +47,7 @@ def conv2d(
     """
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        kernel = kernel.astype(compute_dtype)
+    x, kernel, low_precision = _cast_operands(x, kernel, compute_dtype)
     dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
     out = lax.conv_general_dilated(
         x,
@@ -57,11 +55,23 @@ def conv2d(
         window_strides=(sh, sw),
         padding=((ph, ph), (pw, pw)),
         dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=None if low_precision else jnp.float32,
     )
+    # Low-precision convs keep their dtype through the op (the MXU still
+    # accumulates in f32 internally) and upcast explicitly afterwards —
+    # requesting an f32 preferred_element_type on bf16 operands would break
+    # the conv transpose rule under jax.grad (cotangent dtype mismatch).
+    if low_precision:
+        out = out.astype(jnp.float32)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
+
+
+def _cast_operands(x, kernel, compute_dtype):
+    if compute_dtype is None or jnp.dtype(compute_dtype) == jnp.float32:
+        return x, kernel, False
+    return x.astype(compute_dtype), kernel.astype(compute_dtype), True
 
 
 def conv2d_transpose(
@@ -85,9 +95,7 @@ def conv2d_transpose(
     kh, kw = kernel.shape[0], kernel.shape[1]
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        kernel = kernel.astype(compute_dtype)
+    x, kernel, low_precision = _cast_operands(x, kernel, compute_dtype)
     # Flip spatially; the dilated-conv formulation of the transpose.
     k_flip = kernel[::-1, ::-1, :, :]
     dn = lax.conv_dimension_numbers(x.shape, k_flip.shape, ("NHWC", "HWIO", "NHWC"))
@@ -98,8 +106,10 @@ def conv2d_transpose(
         padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
         lhs_dilation=(sh, sw),
         dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=None if low_precision else jnp.float32,
     )
+    if low_precision:
+        out = out.astype(jnp.float32)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
