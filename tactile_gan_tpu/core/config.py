@@ -64,6 +64,8 @@ class TrainConfig:
     use_pallas: bool = False  # route instance-norm through the Pallas kernel
     vgg_weights: str = ""  # optional local .npz with pretrained VGG16 features
     mesh_data: int = 0  # data-parallel mesh size; 0 = all local devices
+    profile_dir: str = ""  # dump a jax.profiler (xplane) trace of epoch 1 here
+    debug_nans: bool = False  # jax_debug_nans + per-epoch non-finite guard
 
     # ------------------------------------------------------------------
     # Derived properties (mirroring reference train-time logic).
@@ -203,6 +205,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "perceptual loss v1 (random-feature fallback if empty)")
     p.add_argument("--mesh_data", type=int, default=0,
                    help="data-parallel mesh size (0 = all local devices)")
+    p.add_argument("--profile_dir", default="",
+                   help="dump a jax.profiler trace of the first epoch here")
+    p.add_argument("--debug_nans", default=False, action="store_true",
+                   help="enable jax_debug_nans and per-epoch NaN guards")
     return p
 
 

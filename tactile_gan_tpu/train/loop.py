@@ -32,6 +32,11 @@ from tactile_gan_tpu.utils.checkpoint import (
 from tactile_gan_tpu.utils.io import mkdir
 
 import jax.numpy as jnp
+import contextlib
+
+
+def _null_cm():
+    return contextlib.nullcontext()
 
 
 class Trainer:
@@ -118,28 +123,41 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train(self, progress: bool = True) -> None:
+        from tactile_gan_tpu.utils.profiling import nan_guard, trace
+
         cfg = self.cfg
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         for i in range(cfg.total_epochs):
             epoch = i + cfg.initial_epoch
             apply_gp = (cfg.reg_every != 0 and epoch % cfg.reg_every == 0
                         and cfg.lambda_gp != 0)
             t0 = time.time()
+            profile_this_epoch = bool(cfg.profile_dir) and i == 0
+            profiler_cm = (trace(cfg.profile_dir) if profile_this_epoch
+                           else _null_cm())
             metrics = []
-            for src_u8, tgt_u8, _ in self.dataset.batches(
-                    cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
-                    drop_last=not self.pad_mode, pad_to_batch=self.pad_mode,
-                    threads=cfg.threads):
-                if self.mesh is not None:
-                    src_u8, tgt_u8 = shard_batch(self.mesh, src_u8, tgt_u8)
-                self.state, m = self.step_fn(self.state, src_u8, tgt_u8,
-                                             self.train_key, apply_gp=apply_gp)
-                metrics.append(m)
+            with profiler_cm:
+                for src_u8, tgt_u8, _ in self.dataset.batches(
+                        cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
+                        drop_last=not self.pad_mode, pad_to_batch=self.pad_mode,
+                        threads=cfg.threads):
+                    if self.mesh is not None:
+                        src_u8, tgt_u8 = shard_batch(self.mesh, src_u8, tgt_u8)
+                    self.state, m = self.step_fn(self.state, src_u8, tgt_u8,
+                                                 self.train_key,
+                                                 apply_gp=apply_gp)
+                    metrics.append(m)
+                if profile_this_epoch:
+                    jax.block_until_ready(metrics[-1])
 
             # One host sync per epoch (the reference syncs 5x per step).
             fetched = jax.device_get(metrics)
             means = {k: float(np.mean([getattr(m, k) for m in fetched]))
                      for k in ("loss_d", "loss_g", "loss_l1", "loss_gp",
                                "loss_per")}
+            if cfg.debug_nans:
+                nan_guard(means, step_info=f"(epoch {epoch})")
             self.disc_loss.append(means["loss_d"])
             self.gen_loss.append(means["loss_g"])
             self.l1_loss.append(means["loss_l1"])
