@@ -102,11 +102,16 @@ def measure_torch_baseline(steps: int = 3):
             return cache[CACHE_KEY]
 
     sys.path.insert(0, "/root/reference")
+    import types
+    if "torchvision" not in sys.modules:
+        # The reference util.py imports torchvision at module top; it is only
+        # used by VGGPerceptualLoss.__init__, which this benchmark never
+        # constructs (no pretrained weights exist in this environment).
+        sys.modules["torchvision"] = types.ModuleType("torchvision")
     import torch
     import torch.nn.functional as F
     from generators.UNet_plusplus import UNet_plusplus
     from discriminators.PatchDiscriminator import PatchDiscriminator
-    import util as _  # noqa: F401  (only to mirror import-time seeding)
 
     torch.set_num_threads(os.cpu_count() or 8)
     gen = UNet_plusplus(3, 3, NF, activation=True)

@@ -30,9 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 from tactile_gan_tpu.ops.norm import instance_norm
 
 _EPS = 1e-5
-# Budget per input block in bytes; two blocks (in + out) plus scratch must fit
-# comfortably inside ~16 MB of VMEM with double buffering.
-_BLOCK_BYTES = 2 * 1024 * 1024
+# Budget per input block in bytes. Mosaic double-buffers both the input and
+# output windows (4 live blocks), so total scoped VMEM ~= 4x this + scratch;
+# 1 MiB keeps it at ~4 MiB of the ~16 MiB budget.
+_BLOCK_BYTES = 1024 * 1024
 
 
 def _pick_tile(hw: int, c: int, itemsize: int) -> int:
