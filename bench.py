@@ -63,29 +63,33 @@ def measure_ours(steps: int = 20):
     tgt = jnp.asarray(rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8))
     key = jax.random.key(1)
 
-    # Warmup / compile.
+    # Warmup / compile. NOTE: through the axon relay block_until_ready does
+    # not reliably block, so all timing syncs use scalar value readback.
     for _ in range(2):
         state, m = step(state, src, tgt, key, apply_gp=True)
-    jax.block_until_ready(m)
+    float(m.loss_d)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = step(state, src, tgt, key, apply_gp=True)
-    jax.block_until_ready(m)
+    float(m.loss_d)  # forces completion of the whole chained sequence
     dt = time.perf_counter() - t0
     train_ips = BATCH * steps / dt
 
     # Secondary: p50 single-image generator latency (the test.py hot path).
     @jax.jit
     def fwd(x):
-        return gen.apply(state.g_params, x)
+        out = gen.apply(state.g_params, x)
+        return out, jnp.sum(out)
 
     one = jnp.zeros((1, SIZE, SIZE, 3))
-    fwd(one).block_until_ready()
+    _, s = fwd(one)
+    float(s)
     lats = []
     for _ in range(30):
         t0 = time.perf_counter()
-        fwd(one).block_until_ready()
+        _, s = fwd(one)
+        float(s)  # value readback = true completion
         lats.append(time.perf_counter() - t0)
     import numpy as np2
     p50_ms = float(np2.percentile(lats, 50) * 1e3)

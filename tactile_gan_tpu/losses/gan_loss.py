@@ -49,6 +49,22 @@ def gan_loss(
     """
     if mode not in VALID_MODES:
         raise ValueError(f"Unexpected gan mode {mode}")
+
+    # Multiscale-discriminator support (reference generators.py:107-121):
+    # a list of per-scale predictions (each possibly itself a list whose last
+    # entry is the prediction) averages the per-scale losses.
+    if isinstance(logits, (list, tuple)):
+        per_scale = []
+        for i, pred in enumerate(logits):
+            if isinstance(pred, (list, tuple)):
+                pred = pred[-1]
+            per_scale.append(gan_loss(
+                pred, target_is_real, mode=mode,
+                for_discriminator=for_discriminator,
+                label_smoothing=label_smoothing,
+                key=None if key is None else jax.random.fold_in(key, i)))
+        return sum(per_scale) / len(per_scale)
+
     x = logits.astype(jnp.float32)
 
     if mode in ("ls", "ce"):

@@ -44,8 +44,18 @@ class Trainer:
                  mesh=None, use_mesh: bool = True):
         self.cfg = cfg
         self.dataset = dataset
-        self.mesh = mesh if mesh is not None else (
-            make_mesh(cfg.mesh_data) if use_mesh else None)
+        if mesh is not None:
+            self.mesh = mesh
+        elif use_mesh:
+            # Data-parallel width must divide the global batch; default to
+            # the largest divisor the local devices allow.
+            n = cfg.mesh_data if cfg.mesh_data > 0 else len(jax.devices())
+            n = min(n, cfg.batch_size)
+            while cfg.batch_size % n:
+                n -= 1
+            self.mesh = make_mesh(n) if n > 1 else None
+        else:
+            self.mesh = None
 
         compute_dtype = jnp.dtype(cfg.compute_dtype)
         self.gen_model = create_generator(

@@ -78,9 +78,13 @@ def build_train_step(
 
         real_a, real_b = preprocess_batch(src_u8, tgt_u8, k_aug, augment=augment)
 
-        # Generator forward once for the D step. The recomputation inside
-        # g_loss_fn is identical (same params, same input) and CSEs away.
-        fake_b = gen_model.apply(state.g_params, real_a)
+        # Generator forward exactly ONCE via jax.vjp: the D step consumes the
+        # value, the G step pulls its parameter gradients back through the
+        # saved linearization — the same forward-graph reuse the reference
+        # gets from retain_graph (XLA does not CSE a duplicated forward
+        # across the two grad regions; this saves a full G forward per step).
+        fake_b, g_pullback = jax.vjp(
+            lambda p: gen_model.apply(p, real_a), state.g_params)
 
         # ---------------- D update ----------------
         def d_loss_fn(d_params):
@@ -109,8 +113,9 @@ def build_train_step(
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         # ---------------- G update (against the updated D) ----------------
-        def g_loss_fn(g_params):
-            fake = gen_model.apply(g_params, real_a)
+        # Differentiate the G objective wrt the generator *output*, then pull
+        # back through the single saved forward.
+        def g_loss_fn(fake):
             pred_fake, feats_fake = disc_model.apply(d_params, real_a, fake)
             loss_gan = gan_loss(pred_fake, True, mode=mode,
                                 for_discriminator=False,
@@ -137,8 +142,9 @@ def build_train_step(
                 loss_g = loss_g + loss_per
             return loss_g, (loss_gan, loss_l1, loss_per)
 
-        (_, (loss_gan, loss_l1, loss_per)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params)
+        (_, (loss_gan, loss_l1, loss_per)), fake_grad = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(fake_b)
+        (g_grads,) = g_pullback(fake_grad)
         g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
                                              state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)

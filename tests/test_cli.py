@@ -1,0 +1,76 @@
+"""CLI-level integration: the four entry-point scripts run end to end on a
+tiny synthetic dataset (in-process, CPU backend from conftest)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from test_data import make_dataset
+
+
+def _mk_data(tmp_path, target="rgb", n=4, size=32):
+    data_dir = os.path.join(str(tmp_path), "work", "data")
+    make_dataset(data_dir, n=n, size=size, target=target)
+    os.makedirs(os.path.join(data_dir, "test"), exist_ok=True)
+    os.symlink(os.path.join(data_dir, "train", "source"),
+               os.path.join(data_dir, "test", "source"))
+    os.symlink(os.path.join(data_dir, "train", "tactile"),
+               os.path.join(data_dir, "test", "tactile"))
+    return data_dir
+
+
+def test_train_then_test_cli(tmp_path):
+    import train as train_cli
+    import test as test_cli
+
+    data_dir = _mk_data(tmp_path)
+    work = os.path.dirname(data_dir)
+    train_cli.main([
+        "--data", data_dir, "--gen", "UNet++", "--nf", "4",
+        "--batch_size", "2", "--image_size", "32", "--total_epochs", "1",
+        "--lambda_per", "0", "--lambda_gp", "0", "--no_aug",
+        "--compute_dtype", "float32", "--threads", "2",
+        "--folder_save", "cli_run", "--folder_load", "cli_run",
+    ])
+    model_dir = os.path.join(work, "models", "cli_run")
+    assert os.path.exists(os.path.join(model_dir, "final_model.pth"))
+    assert os.path.exists(os.path.join(model_dir, "params.txt"))
+
+    test_cli.main(["--folder", "cli_run", "--work_root", work])
+    out_dir = os.path.join(work, "Outputs", "cli_run")
+    assert os.path.exists(os.path.join(out_dir, "eval.txt"))
+    assert len(os.listdir(os.path.join(out_dir, "out"))) == 4
+
+
+def test_visualize_augmentation_cli(tmp_path):
+    import visualize_augmentation as va
+
+    data_dir = _mk_data(tmp_path, target="ch")
+    out_dir = os.path.join(str(tmp_path), "vis")
+    va.main(["--data_dir", os.path.join(data_dir, "train", "source"),
+             "--output_dir", out_dir, "--num_samples", "2", "--size", "32",
+             "--target_mode", "non_rgb"])
+    files = sorted(os.listdir(out_dir))
+    assert "sample_0_source_raw.png" in files
+    assert "sample_0_source_aug.png" in files
+    assert "sample_1_target_aug.png" in files
+
+
+def test_multiscale_gan_loss_list_input():
+    """C9: list-of-predictions input averages per-scale losses
+    (/root/reference/generators/generators.py:107-121)."""
+    import jax.numpy as jnp
+    from tactile_gan_tpu.losses import gan_loss
+
+    a = jnp.full((1, 3, 3, 1), 0.3)
+    b = jnp.full((1, 2, 2, 1), 0.9)
+    single_a = gan_loss(a, True, mode="ls")
+    single_b = gan_loss(b, True, mode="ls")
+    combo = gan_loss([a, [None, b]], True, mode="ls")
+    np.testing.assert_allclose(float(combo),
+                               (float(single_a) + float(single_b)) / 2,
+                               rtol=1e-6)
