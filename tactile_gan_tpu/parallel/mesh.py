@@ -25,6 +25,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed() -> bool:
+    """Initialize jax.distributed for multi-host runs.
+
+    TPU pods set the coordination env automatically; on other setups export
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID. No-op (and
+    returns False) for single-process runs, so the same entry point serves a
+    laptop, 1 chip, and a slice.
+    """
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") is None and \
+            os.environ.get("TPU_WORKER_HOSTNAMES", "localhost") in ("", "localhost"):
+        return False
+    try:
+        jax.distributed.initialize()
+        return True
+    except (RuntimeError, ValueError):
+        return False  # already initialized or single-process
+
+
 def make_mesh(n_data: int = 0, n_model: int = 1,
               devices: Optional[list] = None) -> Mesh:
     devs = list(devices if devices is not None else jax.devices())

@@ -27,7 +27,7 @@ from tactile_gan_tpu.train.schedule import multistep_lr
 from tactile_gan_tpu.train.state import TrainState, create_train_state, make_optimizer
 from tactile_gan_tpu.train.step import build_train_step
 from tactile_gan_tpu.utils.checkpoint import (
-    load_checkpoint, restore_partial, save_checkpoint,
+    AsyncCheckpointer, load_checkpoint, restore_partial, save_checkpoint,
 )
 from tactile_gan_tpu.utils.io import mkdir
 
@@ -129,6 +129,7 @@ class Trainer:
         # Per-epoch loss curves (reference train.py:64-68).
         self.gen_loss, self.disc_loss = [], []
         self.l1_loss, self.per_loss, self.gp_loss = [], [], []
+        self._async_ckpt = AsyncCheckpointer()
 
     # ------------------------------------------------------------------
 
@@ -184,9 +185,15 @@ class Trainer:
 
             if (cfg.checkpoint_interval != -1
                     and epoch % cfg.checkpoint_interval == 0):
-                self.save_model(os.path.join(
-                    cfg.work_root, "checkpoints", cfg.folder_save,
-                    f"model_{epoch}.pth"))
+                # Async: disk IO overlaps the next epoch's device work.
+                state = jax.device_get(self.state)
+                self._async_ckpt.save(
+                    os.path.join(cfg.work_root, "checkpoints",
+                                 cfg.folder_save, f"model_{epoch}.pth"),
+                    gen=state.g_params, disc=state.d_params,
+                    opt_g=state.g_opt_state, opt_d=state.d_opt_state,
+                    step=int(state.step))
+        self._async_ckpt.wait()
 
     # ------------------------------------------------------------------
     # Artifacts (names match /root/reference/train.py:197-227).

@@ -87,10 +87,21 @@ def build_train_step(
             lambda p: gen_model.apply(p, real_a), state.g_params)
 
         # ---------------- D update ----------------
+        batch = real_a.shape[0]
+
         def d_loss_fn(d_params):
-            pred_fake, _ = disc_model.apply(d_params, real_a,
-                                            jax.lax.stop_gradient(fake_b))
-            pred_real, _ = disc_model.apply(d_params, real_a, real_b)
+            # One batched D forward covers fake and real: instance norm and
+            # every other op in the PatchGAN are per-sample, so stacking on
+            # the batch axis is exact and feeds the MXU twice the work per
+            # kernel (the reference runs two separate forwards,
+            # /root/reference/train.py:110-111).
+            stacked_pred, _ = disc_model.apply(
+                d_params,
+                jnp.concatenate([real_a, real_a], axis=0),
+                jnp.concatenate([jax.lax.stop_gradient(fake_b), real_b],
+                                axis=0))
+            pred_fake = stacked_pred[:batch]
+            pred_real = stacked_pred[batch:]
             loss_fake = gan_loss(pred_fake, False, mode=mode,
                                  for_discriminator=True)
             loss_real = gan_loss(pred_real, True, mode=mode,

@@ -43,6 +43,27 @@ def save_checkpoint(path: str, *, gen, disc, opt_g, opt_d, step: int) -> None:
     os.replace(tmp, path)
 
 
+class AsyncCheckpointer:
+    """Background-thread checkpoint writer (orbax-style async save): the
+    device_get happens on the caller, serialization + disk IO overlap with
+    the next epoch's compute. One in-flight save at a time; ``wait()`` before
+    process exit or before reading the file back."""
+
+    def __init__(self):
+        import concurrent.futures as cf
+        self._pool = cf.ThreadPoolExecutor(max_workers=1)
+        self._pending = None
+
+    def save(self, path: str, **kwargs) -> None:
+        self.wait()
+        self._pending = self._pool.submit(save_checkpoint, path, **kwargs)
+
+    def wait(self) -> None:
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())

@@ -14,6 +14,9 @@ from tactile_gan_tpu.train.loop import Trainer
 
 
 def main(argv=None):
+    from tactile_gan_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
+
     cfg = config_from_args(argv)
     photo_path_train = os.path.join(cfg.data, "train", "source")
     train_set = get_dataset(photo_path_train, cfg, mode="train")
