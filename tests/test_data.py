@@ -184,6 +184,37 @@ def test_warp_identity_and_scipy_parity():
     np.testing.assert_allclose(ours[valid], theirs[valid], atol=1e-4)
 
 
+def test_dense_warp_matches_gather_warp():
+    """The matmul-based two-pass warp vs the exact gather warp: identity is
+    exact; a rotation+scale agrees up to the sub-pixel kernel-skew of the
+    two-pass decomposition (small for <=15 deg)."""
+    img = RNG.uniform(size=(32, 32, 3)).astype(np.float32)
+    ident = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    np.testing.assert_allclose(
+        np.asarray(aug_mod._warp_dense(jnp.array(img), ident, nearest=False)),
+        img, atol=1e-5)
+
+    th = np.deg2rad(12.0)
+    a = np.array([[np.cos(th) / 1.1, -np.sin(th)],
+                  [np.sin(th), np.cos(th) / 0.9]], np.float32)
+    off = np.array([1.3, -0.7], np.float32)
+    mat = jnp.array(np.concatenate([a, off[:, None]], axis=1))
+    dense = np.asarray(aug_mod._warp_dense(jnp.array(img), mat, nearest=False))
+    gather = np.asarray(aug_mod._warp(jnp.array(img), mat, nearest=False))
+    # mean deviation small; max bounded by the kernel-skew (white-noise
+    # images are the worst case for comparing two valid resamplings)
+    assert np.abs(dense - gather).mean() < 0.02
+    assert np.abs(dense - gather).max() < 0.3
+
+    # nearest: binary masks stay binary and translations are exact
+    shift = jnp.array([[1.0, 0.0, 3.0], [0.0, 1.0, -2.0]])
+    mask = (RNG.uniform(size=(32, 32, 1)) > 0.5).astype(np.float32)
+    dn = np.asarray(aug_mod._warp_dense(jnp.array(mask), shift, nearest=True))
+    gn = np.asarray(aug_mod._warp(jnp.array(mask), shift, nearest=True))
+    np.testing.assert_array_equal(dn, gn)
+    assert set(np.unique(dn).tolist()) <= {0.0, 1.0}
+
+
 def test_augment_mask_nearest_preserves_value_set(monkeypatch):
     """The target is sampled nearest-neighbour (albumentations mask default):
     a binary mask stays binary under affine warping."""
