@@ -94,6 +94,7 @@ class Trainer:
 
         schedule = multistep_lr(cfg.lr, cfg.epoch_constant, cfg.total_epochs,
                                 self.steps_per_epoch, step_offset=step_offset)
+        self._schedule = schedule
         self.g_tx = make_optimizer(schedule, cfg.beta1)
         self.d_tx = make_optimizer(schedule, cfg.beta1)
 
@@ -177,11 +178,15 @@ class Trainer:
 
             if progress:
                 dt = time.time() - t0
+                lr_now = float(self._schedule(i * self.steps_per_epoch))
                 print(f"==training epoch {epoch}")
                 print(f"\tloss functions => D:{means['loss_d']:.5f}, "
                       f"G:{means['loss_g']:.5f}, L1:{means['loss_l1']:.5f}, "
                       f"gp:{means['loss_gp']:.5f}, per:{means['loss_per']:.5f}")
+                print(f"\tlearning rate: {lr_now:.5f}")
                 print(f"\ttook {dt:.2f} seconds")
+                print(f"\tapproximately {dt * (cfg.total_epochs - epoch):.2f} "
+                      f"seconds left")
 
             if (cfg.checkpoint_interval != -1
                     and epoch % cfg.checkpoint_interval == 0):

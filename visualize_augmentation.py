@@ -42,6 +42,10 @@ def main(argv=None):
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--target_mode", type=str, default="non_rgb",
                         choices=["rgb", "non_rgb"])
+    # kept for reference CLI parity (the reference defines it but never uses
+    # it — raw and augmented variants are always rendered side by side,
+    # /root/reference/visualize_augmentation.py:120-121)
+    parser.add_argument("--augment", action="store_true")
     parser.add_argument("--seed", type=int, default=21)
     args = parser.parse_args(argv)
 
