@@ -76,3 +76,27 @@ def shard_state(mesh: Mesh, tree: Any) -> Any:
     """Replicate a parameter/optimizer pytree across the mesh."""
     s = replicate_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_state_tp(mesh: Mesh, tree: Any, min_features: int = 256) -> Any:
+    """Tensor-parallel placement: conv kernels (4-D leaves, HWIO) with at
+    least ``min_features`` output channels divisible by the 'model' axis are
+    split on the output-feature dim; everything else replicates. XLA then
+    propagates the sharding through the matching biases/norms and inserts
+    the collectives. With model=1 this degrades to plain replication.
+
+    The reference has no TP (SURVEY.md section 2.2); this serves its stated
+    optional role: splitting the widest layers (up to 16*nf channels in
+    UNet++) when a model no longer fits or to shrink per-chip weight traffic.
+    """
+    n_model = mesh.shape["model"]
+    repl = replicate_sharding(mesh)
+    split = NamedSharding(mesh, P(None, None, None, "model"))
+
+    def place(x):
+        if (n_model > 1 and hasattr(x, "ndim") and x.ndim == 4
+                and x.shape[-1] >= min_features and x.shape[-1] % n_model == 0):
+            return jax.device_put(x, split)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, tree)

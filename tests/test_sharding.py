@@ -79,6 +79,39 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_tp_sharded_step_matches_replicated():
+    """2x4 (data x model) mesh: wide conv kernels split on output features;
+    one train step must match the pure-DP result (XLA inserts the TP
+    collectives from the param shardings alone)."""
+    from tactile_gan_tpu.parallel.mesh import shard_state_tp
+
+    cfg = TrainConfig(gen="UNet++", nf=8, batch_size=2, image_size=32,
+                      loss="ls", lambda_per=0.0, lambda_gp=0.0,
+                      compute_dtype="float32", no_aug=True)
+    src = RNG.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    tgt = RNG.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    key = jax.random.key(7)
+
+    state1, step1 = _setup(cfg, 2)
+    ref_state, ref_m = step1(state1, jnp.asarray(src), jnp.asarray(tgt), key,
+                             apply_gp=False)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    state2, step2 = _setup(cfg, 2)
+    state2 = shard_state_tp(mesh, state2, min_features=64)
+    # check at least one leaf actually got split
+    kernels = [x for x in jax.tree.leaves(state2.g_params)
+               if hasattr(x, "ndim") and x.ndim == 4 and x.shape[-1] >= 64]
+    assert any(not k.sharding.is_fully_replicated for k in kernels)
+
+    s_src, s_tgt = shard_batch(mesh, src, tgt)
+    tp_state, tp_m = step2(state2, s_src, s_tgt, key, apply_gp=False)
+    for k in ("loss_d", "loss_g", "loss_l1"):
+        np.testing.assert_allclose(float(getattr(ref_m, k)),
+                                   float(getattr(tp_m, k)), rtol=2e-4,
+                                   err_msg=k)
+
+
 def test_dp_params_stay_replicated():
     """After a step, parameters must still be fully replicated (XLA inserts
     the gradient all-reduce; no divergence across devices)."""
