@@ -93,7 +93,24 @@ def measure_ours(steps: int = 20):
         lats.append(time.perf_counter() - t0)
     import numpy as np2
     p50_ms = float(np2.percentile(lats, 50) * 1e3)
-    return train_ips, p50_ms
+
+    # Device-only latency via a chained on-device loop (amortizes the host
+    # round-trip, which dominates p50 through the axon relay).
+    @jax.jit
+    def fwd_chain(x, n):
+        def body(_, h):
+            return gen.apply(state.g_params, h) * 0.5 + h * 0.5
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+    float(fwd_chain(one, 2))
+    t0 = time.perf_counter()
+    float(fwd_chain(one, 22))
+    t_long = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(fwd_chain(one, 2))
+    t_short = time.perf_counter() - t0
+    device_ms = max(0.0, (t_long - t_short) / 20.0 * 1e3)
+    return train_ips, p50_ms, device_ms
 
 
 def measure_torch_baseline(steps: int = 3):
@@ -164,7 +181,7 @@ def measure_torch_baseline(steps: int = 3):
 
 
 def main():
-    train_ips, p50_ms = measure_ours()
+    train_ips, p50_ms, device_ms = measure_ours()
     try:
         baseline_ips = measure_torch_baseline()
     except Exception as e:  # reference missing: report raw throughput only
@@ -178,6 +195,7 @@ def main():
         "vs_baseline": round(train_ips / baseline_ips, 3) if baseline_ips else None,
         "extra": {
             "p50_gen_latency_ms": round(p50_ms, 3),
+            "gen_device_latency_ms": round(device_ms, 3),
             "torch_cpu_baseline_images_per_sec": (
                 round(baseline_ips, 3) if baseline_ips else None),
             "backend": __import__("jax").default_backend(),
