@@ -1,15 +1,26 @@
 """CLI-level integration: the four entry-point scripts run end to end on a
 tiny synthetic dataset (in-process, CPU backend from conftest)."""
 
+import importlib.util
 import os
 import sys
 
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 from test_data import make_dataset
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_cli(name):
+    """Load a repo-root CLI module by path under a collision-free name (the
+    reference checkout also defines train/test modules on sys.path)."""
+    spec = importlib.util.spec_from_file_location(
+        f"cli_{name}", os.path.join(_REPO, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _mk_data(tmp_path, target="rgb", n=4, size=32):
@@ -24,8 +35,8 @@ def _mk_data(tmp_path, target="rgb", n=4, size=32):
 
 
 def test_train_then_test_cli(tmp_path):
-    import train as train_cli
-    import test as test_cli
+    train_cli = _load_cli("train")
+    test_cli = _load_cli("test")
 
     data_dir = _mk_data(tmp_path)
     work = os.path.dirname(data_dir)
@@ -47,7 +58,7 @@ def test_train_then_test_cli(tmp_path):
 
 
 def test_visualize_augmentation_cli(tmp_path):
-    import visualize_augmentation as va
+    va = _load_cli("visualize_augmentation")
 
     data_dir = _mk_data(tmp_path, target="ch")
     out_dir = os.path.join(str(tmp_path), "vis")
@@ -63,8 +74,8 @@ def test_visualize_augmentation_cli(tmp_path):
 def test_two_step_cli(tmp_path):
     """two_step_test.py end to end: stage-1 rgb model chained into a
     stage-2 ch model, outputs under Outputs/{s1}+{s2}_{data}."""
-    import train as train_cli
-    import two_step_test as ts_cli
+    train_cli = _load_cli("train")
+    ts_cli = _load_cli("two_step_test")
 
     data_dir = _mk_data(tmp_path, target="rgb", n=2)
     work = os.path.dirname(data_dir)

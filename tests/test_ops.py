@@ -111,6 +111,8 @@ def test_conv2d_bf16_compute_close_to_f32():
     f32 = conv2d(jnp.array(x), jnp.array(k), padding=1)
     bf16 = conv2d(jnp.array(x), jnp.array(k), padding=1,
                   compute_dtype=jnp.bfloat16)
-    assert bf16.dtype == jnp.float32  # accumulated in f32
-    err = np.abs(np.asarray(f32) - np.asarray(bf16)).max()
+    # bf16 MXU compute, f32 result (measured faster than bf16-through on v5e
+    # for this model's narrow channel widths — see ops/conv.py).
+    assert bf16.dtype == jnp.float32
+    err = np.abs(np.asarray(f32) - np.asarray(bf16, np.float32)).max()
     assert err < 0.1

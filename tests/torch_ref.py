@@ -8,14 +8,23 @@ import types
 import numpy as np
 import torch
 
+# APPEND (not prepend): the reference defines top-level modules named
+# train/test/util that must not shadow this repo's own CLI modules.
 if "/root/reference" not in sys.path:
-    sys.path.insert(0, "/root/reference")
+    sys.path.append("/root/reference")
 
 
 def _stub(name: str, **attrs) -> None:
     if name in sys.modules:
         return
+    import importlib.machinery
     mod = types.ModuleType(name)
+    # A real ModuleSpec (and a __path__ on packages) so importlib.util.
+    # find_spec / `from stub.sub import x` don't choke on the fake module.
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    if "." not in name:
+        mod.__path__ = []
+        mod.__spec__.submodule_search_locations = []
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
@@ -51,11 +60,29 @@ def _install_stubs() -> None:
     sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _ref_path_first():
+    """Temporarily put /root/reference at the FRONT of sys.path so its
+    top-level modules (util, datasets, ...) win over same-named installed
+    packages (e.g. HuggingFace `datasets`) while a reference module loads.
+    Restored afterwards so this repo's own train/test CLIs stay importable."""
+    sys.path.insert(0, "/root/reference")
+    try:
+        yield
+    finally:
+        sys.path.remove("/root/reference")
+        sys.path.append("/root/reference")
+
+
 def import_ref_util():
     """Import the reference util module (torchvision only used inside
     VGGPerceptualLoss.__init__, which we never call on CPU)."""
     _install_stubs()
-    import util as ref_util
+    with _ref_path_first():
+        import util as ref_util
     return ref_util
 
 
@@ -69,8 +96,9 @@ def import_ref_test():
     spec = importlib.util.spec_from_file_location(
         "ref_test", "/root/reference/test.py")
     mod = importlib.util.module_from_spec(spec)
-    sys.modules["ref_test"] = mod
-    spec.loader.exec_module(mod)
+    with _ref_path_first():
+        sys.modules["ref_test"] = mod
+        spec.loader.exec_module(mod)
     return mod
 
 
