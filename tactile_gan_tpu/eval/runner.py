@@ -72,10 +72,6 @@ def unnormalize(a: np.ndarray) -> np.ndarray:
     return a / 2.0 + 0.5
 
 
-def _prep_source(src_u8: np.ndarray) -> jax.Array:
-    return jnp.asarray(src_u8[None].astype(np.float32) / 255.0 * 2.0 - 1.0)
-
-
 def _write_case(i: int, src_norm: np.ndarray, tgt: np.ndarray,
                 out: np.ndarray, output_path: str, target_mode: str) -> None:
     if target_mode == "rgb":
@@ -94,32 +90,46 @@ def _write_case(i: int, src_norm: np.ndarray, tgt: np.ndarray,
 
 def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
                dataset: PairedDataset, output_path: str, target_mode: str,
-               evaluation: bool) -> Tuple[List[float], List[float], List[float]]:
+               evaluation: bool, eval_batch: int = 1,
+               ) -> Tuple[List[float], List[float], List[float]]:
+    """eval_batch=1 reproduces the reference's per-image loop
+    (/root/reference/test.py:200-203); larger values batch the generator
+    forward (pad-and-mask on the tail) for throughput — metrics and artifacts
+    are identical either way."""
     for sub in ("out", "sgt", "elm"):
         mkdir(os.path.join(output_path, sub))
 
     accuracy, dice, jaccard = [], [], []
-    for i in range(len(dataset)):
-        src_u8, tgt_u8 = dataset.load_pair(i)
-        src = _prep_source(src_u8)
-        out = np.asarray(forward_chain(src))[0]
-        tgt = tgt_u8.astype(np.float32) / 255.0
-        src_norm = np.asarray(src)[0]
+    n = len(dataset)
+    for start in range(0, n, eval_batch):
+        idxs = list(range(start, min(start + eval_batch, n)))
+        pairs = [dataset.load_pair(i) for i in idxs]
+        srcs = np.stack([p[0] for p in pairs])
+        if len(idxs) < eval_batch:  # pad the tail to the compiled shape
+            srcs = np.concatenate(
+                [srcs, np.repeat(srcs[-1:], eval_batch - len(idxs), 0)])
+        src = jnp.asarray(srcs.astype(np.float32) / 255.0 * 2.0 - 1.0)
+        outs = np.asarray(forward_chain(src))
 
-        if evaluation:
-            res = eval_pair(tgt, out)
-            accuracy.append(res["accuracy"])
-            dice.append(res["dice"])
-            jaccard.append(res["jaccard"])
-
-        _write_case(i, src_norm, tgt, out, output_path, target_mode)
+        for k, i in enumerate(idxs):
+            out = outs[k]
+            tgt = pairs[k][1].astype(np.float32) / 255.0
+            src_norm = np.asarray(src)[k]
+            if evaluation:
+                res = eval_pair(tgt, out)
+                accuracy.append(res["accuracy"])
+                dice.append(res["dice"])
+                jaccard.append(res["jaccard"])
+            _write_case(i, src_norm, tgt, out, output_path, target_mode)
     return accuracy, dice, jaccard
 
 
 def test_model(forward, dataset: PairedDataset, output_path: str,
-               evaluation: bool = False, target_mode: str = "rgb"):
+               evaluation: bool = False, target_mode: str = "rgb",
+               eval_batch: int = 1):
     """Parity with /root/reference/test.py:188-230."""
-    return _run_cases(forward, dataset, output_path, target_mode, evaluation)
+    return _run_cases(forward, dataset, output_path, target_mode, evaluation,
+                      eval_batch=eval_batch)
 
 
 def test_two_step(forward1, forward2, dataset: PairedDataset,
@@ -134,7 +144,8 @@ def test_two_step(forward1, forward2, dataset: PairedDataset,
 
 def evaluate_folder(folder: str, work_root: str = ".",
                     data_override: Optional[str] = None,
-                    progress: bool = True) -> Optional[dict]:
+                    progress: bool = True,
+                    eval_batch: int = 1) -> Optional[dict]:
     """The test.py __main__ flow (/root/reference/test.py:232-257): load
     params.txt, model, data, loss arrays; plot; run; write eval.txt."""
     from tactile_gan_tpu.eval.visualize import plot_loss
@@ -156,7 +167,8 @@ def evaluate_folder(folder: str, work_root: str = ".",
     plot_loss(losses, cfg.initial_epoch, cfg.total_epochs, output_path)
 
     accuracy, dice, jaccard = test_model(
-        forward, dataset, output_path, evaluation=True, target_mode=cfg.target)
+        forward, dataset, output_path, evaluation=True,
+        target_mode=cfg.target, eval_batch=eval_batch)
     if len(accuracy) > 0:
         print_evaluation(accuracy, dice, jaccard, output_path)
         return {"accuracy": float(np.mean(accuracy)),

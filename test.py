@@ -17,11 +17,14 @@ def main(argv=None):
                         help="directory holding models/ and Outputs/")
     parser.add_argument("--data", default=None,
                         help="optional dataset-dir override")
+    parser.add_argument("--eval_batch", type=int, default=1,
+                        help="generator forward batch (1 = reference's "
+                             "per-image loop; larger batches for throughput)")
     args = parser.parse_args(argv)
 
     from tactile_gan_tpu.eval.runner import evaluate_folder
     evaluate_folder(args.folder, work_root=args.work_root,
-                    data_override=args.data)
+                    data_override=args.data, eval_batch=args.eval_batch)
 
 
 if __name__ == "__main__":

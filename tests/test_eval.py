@@ -144,6 +144,33 @@ def test_full_eval_artifact_tree(tmp_path, target):
     assert 0.0 <= metrics["dice"] <= 1.0
 
 
+def test_batched_eval_matches_per_image(tmp_path):
+    """--eval_batch produces identical metrics and artifacts to the
+    reference's per-image loop (tail padded)."""
+    from tactile_gan_tpu.eval.runner import load_model, test_model
+    from tactile_gan_tpu.train import Trainer
+
+    cfg = tiny_cfg(tmp_path, total_epochs=1, folder_save="bev",
+                   folder_load="bev")
+    ds = build_dataset(cfg, n=5)
+    Trainer(cfg, ds, use_mesh=False).run_and_save(progress=False)
+    fwd1, _ = load_model(os.path.join(cfg.models_dir(), "final_model.pth"), cfg)
+
+    out1 = os.path.join(str(tmp_path), "per_image")
+    a1, d1, j1 = test_model(fwd1, ds, out1, evaluation=True,
+                            target_mode="rgb", eval_batch=1)
+    out2 = os.path.join(str(tmp_path), "batched")
+    a2, d2, j2 = test_model(fwd1, ds, out2, evaluation=True,
+                            target_mode="rgb", eval_batch=4)
+    np.testing.assert_allclose(a1, a2, rtol=1e-6)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    assert len(os.listdir(os.path.join(out2, "out"))) == 5
+    # pixel-identical artifacts
+    img1 = np.asarray(Image.open(os.path.join(out1, "out", "3.png")))
+    img2 = np.asarray(Image.open(os.path.join(out2, "out", "3.png")))
+    np.testing.assert_array_equal(img1, img2)
+
+
 def test_two_step_runner(tmp_path):
     """Chain two tiny generators: rgb-stage then ch-stage."""
     from tactile_gan_tpu.eval.runner import load_model, test_two_step
