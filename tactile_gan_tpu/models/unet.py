@@ -23,6 +23,11 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if x.shape[1] < 128 or x.shape[2] < 128:
+            raise ValueError(
+                f"UNet needs inputs of at least 128x128 (7 stride-2 stages); "
+                f"got {x.shape[1]}x{x.shape[2]}. Use UNet++ or BCDUNet for "
+                "smaller images.")
         kw = dict(compute_dtype=self.compute_dtype, use_pallas=self.use_pallas)
         nf = self.nf
 

@@ -61,7 +61,7 @@ def test_init_statistics():
     """Conv kernels ~ N(0, 0.02), norms at (1, 0), biases zero — matching
     /root/reference/util.py:23-34 + torch InstanceNorm defaults."""
     model = UNet(output_dim=3, nf=16)
-    params = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    params = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))["params"]
     kernels = [np.asarray(v) for v in jax.tree.leaves(params) if v.ndim == 4]
     big = np.concatenate([k.ravel() for k in kernels])
     assert abs(big.std() - 0.02) < 0.002
