@@ -1,11 +1,12 @@
-"""End-to-end one-step training parity vs the PyTorch reference.
+"""End-to-end one-step training parity vs the PyTorch reference, for ALL
+three generator families.
 
-Ties the reference models' weights into our flax params, runs ONE full
-G+D train step on both sides with identical deterministic settings
-(no augmentation, no label smoothing, no GP — the RNG-free subset), and
-checks losses and post-Adam parameter updates agree. This pins down the whole
-chain: preprocessing, forwards, loss arithmetic, both backward passes, and
-the optimizer (betas=(0.9, 0.99), reference /root/reference/train.py:56-57).
+Ties the reference models' weights into our flax params, runs full G+D train
+steps on both sides with identical deterministic settings (no augmentation,
+no label smoothing, no GP — the RNG-free subset), and checks losses and
+post-Adam parameter updates agree. This pins down the whole chain:
+preprocessing, forwards, loss arithmetic, both backward passes, and the
+optimizer (betas=(0.9, 0.99), reference /root/reference/train.py:56-57).
 """
 
 import numpy as np
@@ -18,31 +19,69 @@ import torch.nn.functional as tF
 from tactile_gan_tpu.core.config import TrainConfig
 from tactile_gan_tpu.models.factory import create_discriminator, create_generator
 from tactile_gan_tpu.train.schedule import multistep_lr
-from tactile_gan_tpu.train.state import TrainState, create_train_state, make_optimizer
+from tactile_gan_tpu.train.state import TrainState, make_optimizer
 from tactile_gan_tpu.train.step import build_train_step
 
-from torch_ref import patchdisc_params, randomize_, unet_params
+from torch_ref import (
+    bcdunet_params, patchdisc_params, randomize_, unet_params, unetpp_params,
+)
 
 RNG = np.random.default_rng(31)
 
+LR, BETA1 = 1e-3, 0.9
 
-def test_one_train_step_matches_reference(reference_available):
+
+def _make_ref_gen(gen_name, nf, size):
+    if gen_name == "UNet":
+        from generators.UNet import UNet as RefUNet
+        return RefUNet(3, 3, nf, activation=True), unet_params
+    if gen_name == "UNet++":
+        from generators.UNet_plusplus import UNet_plusplus as RefUNetPP
+        return RefUNetPP(3, 3, nf, activation=True), unetpp_params
+    from generators.BCDUNet import BCDUNet as RefBCDUNet
+    return (RefBCDUNet(3, 3, nf, frame_size=(size, size), bidirectional=True,
+                       activation=True), bcdunet_params)
+
+
+def _torch_step(ref_g, ref_d, opt_g, opt_d, a_t, b_t):
+    """One reference-loop iteration (/root/reference/train.py:99-168),
+    ls mode without smoothing/GP/perceptual. Returns (loss_d, loss_g, l1)."""
+    fake = ref_g(a_t)
+    opt_d.zero_grad()
+    pred_fake = ref_d(a_t, fake.detach())
+    pred_real = ref_d(a_t, b_t)
+    loss_d = (tF.mse_loss(pred_fake, torch.zeros_like(pred_fake))
+              + tF.mse_loss(pred_real, torch.ones_like(pred_real))) / 2
+    loss_d.backward()
+    opt_d.step()
+    opt_g.zero_grad()
+    pred_fake2 = ref_d(a_t, fake)
+    loss_g = tF.mse_loss(pred_fake2, torch.ones_like(pred_fake2))
+    loss_l1 = tF.l1_loss(b_t, fake)
+    (loss_g + loss_l1).backward()
+    opt_g.step()
+    return float(loss_d), float(loss_g), float(loss_l1)
+
+
+@pytest.mark.parametrize("gen_name,size", [
+    ("UNet", 256),     # the 7-stage UNet needs >1 px at its bottleneck
+    ("UNet++", 64),
+    ("BCDUNet", 64),
+])
+def test_one_train_step_matches_reference(reference_available, gen_name, size):
     if not reference_available:
         pytest.skip("reference checkout unavailable")
-    from generators.UNet import UNet as RefUNet
     from discriminators.PatchDiscriminator import PatchDiscriminator as RefD
 
-    # 256px: the 7-stage UNet needs >1 spatial element at its bottleneck.
-    nf, size, batch = 4, 256, 1
-    lr, beta1 = 1e-3, 0.9
+    nf, batch = 4, 1
 
-    # --- reference side -------------------------------------------------
-    ref_g = RefUNet(3, 3, nf, activation=True)
+    # --- reference side ---------------------------------------------------
+    ref_g, to_params = _make_ref_gen(gen_name, nf, size)
     ref_d = RefD(3, 3, num_filter=nf, return_filters=False, activation=True)
     randomize_(ref_g, seed=41)
     randomize_(ref_d, seed=42)
-    opt_g = torch.optim.Adam(ref_g.parameters(), lr=lr, betas=(beta1, 0.99))
-    opt_d = torch.optim.Adam(ref_d.parameters(), lr=lr, betas=(beta1, 0.99))
+    opt_g = torch.optim.Adam(ref_g.parameters(), lr=LR, betas=(BETA1, 0.99))
+    opt_d = torch.optim.Adam(ref_d.parameters(), lr=LR, betas=(BETA1, 0.99))
 
     src_u8 = RNG.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)
     tgt_u8 = RNG.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)
@@ -50,56 +89,37 @@ def test_one_train_step_matches_reference(reference_available):
         (src_u8.astype(np.float32) / 255.0 * 2 - 1).transpose(0, 3, 1, 2))
     b_t = torch.tensor((tgt_u8.astype(np.float32) / 255.0).transpose(0, 3, 1, 2))
 
-    # The reference loop arithmetic (/root/reference/train.py:99-168),
-    # ls mode without smoothing/GP/perceptual:
-    fake = ref_g(a_t)
-    opt_d.zero_grad()
-    pred_fake = ref_d(a_t, fake.detach())
-    pred_real = ref_d(a_t, b_t)
-    loss_d_ref = (tF.mse_loss(pred_fake, torch.zeros_like(pred_fake))
-                  + tF.mse_loss(pred_real, torch.ones_like(pred_real))) / 2
-    loss_d_ref.backward()
-    opt_d.step()
+    loss_d_ref, loss_g_ref, loss_l1_ref = _torch_step(
+        ref_g, ref_d, opt_g, opt_d, a_t, b_t)
 
-    opt_g.zero_grad()
-    pred_fake2 = ref_d(a_t, fake)
-    loss_g_ref = tF.mse_loss(pred_fake2, torch.ones_like(pred_fake2))
-    loss_l1_ref = tF.l1_loss(b_t, fake)
-    (loss_g_ref + loss_l1_ref).backward()
-    opt_g.step()
-
-    # --- our side --------------------------------------------------------
-    cfg = TrainConfig(gen="UNet", nf=nf, batch_size=batch, image_size=size,
+    # --- our side ----------------------------------------------------------
+    cfg = TrainConfig(gen=gen_name, nf=nf, batch_size=batch, image_size=size,
                       loss="ls", lambda_a=1.0, lambda_per=0.0, lambda_gp=0.0,
                       no_label_smoothing=True, no_aug=True,
-                      compute_dtype="float32", lr=lr, beta1=beta1)
-    gen = create_generator("UNet", 3, nf, activation=True)
+                      compute_dtype="float32", lr=LR, beta1=BETA1)
+    gen = create_generator(gen_name, 3, nf, activation=True)
     disc = create_discriminator("patch", nf, activation=True)
-    sched = multistep_lr(lr, cfg.epoch_constant, cfg.total_epochs, 100)
-    g_tx, d_tx = make_optimizer(sched, beta1), make_optimizer(sched, beta1)
+    sched = multistep_lr(LR, cfg.epoch_constant, cfg.total_epochs, 100)
+    g_tx, d_tx = make_optimizer(sched, BETA1), make_optimizer(sched, BETA1)
 
-    ex = jnp.zeros((batch, size, size, 3))
-    state = create_train_state(gen, disc, ex, ex, jax.random.key(0), g_tx, d_tx)
     # Tie to the reference's *initial* weights (pre-update).
-    ref_g2 = RefUNet(3, 3, nf, activation=True)
+    ref_g2, _ = _make_ref_gen(gen_name, nf, size)
     ref_d2 = RefD(3, 3, num_filter=nf, return_filters=False, activation=True)
     randomize_(ref_g2, seed=41)
     randomize_(ref_d2, seed=42)
-    state = TrainState(
-        g_params={"params": unet_params(ref_g2)},
-        d_params={"params": patchdisc_params(ref_d2)},
-        g_opt_state=g_tx.init({"params": unet_params(ref_g2)}),
-        d_opt_state=d_tx.init({"params": patchdisc_params(ref_d2)}),
-        step=jnp.zeros((), jnp.int32),
-    )
+    g0 = {"params": to_params(ref_g2)}
+    d0 = {"params": patchdisc_params(ref_d2)}
+    state = TrainState(g_params=g0, d_params=d0, g_opt_state=g_tx.init(g0),
+                       d_opt_state=d_tx.init(d0),
+                       step=jnp.zeros((), jnp.int32))
 
     step = build_train_step(cfg, gen, disc, g_tx, d_tx)
     state, m = step(state, jnp.asarray(src_u8), jnp.asarray(tgt_u8),
                     jax.random.key(5), apply_gp=False)
 
-    np.testing.assert_allclose(float(m.loss_d), float(loss_d_ref), rtol=1e-4)
-    np.testing.assert_allclose(float(m.loss_g), float(loss_g_ref), rtol=1e-4)
-    np.testing.assert_allclose(float(m.loss_l1), float(loss_l1_ref), rtol=1e-4)
+    np.testing.assert_allclose(float(m.loss_d), loss_d_ref, rtol=1e-4)
+    np.testing.assert_allclose(float(m.loss_g), loss_g_ref, rtol=1e-4)
+    np.testing.assert_allclose(float(m.loss_l1), loss_l1_ref, rtol=1e-4)
 
     # Post-step parameters. Adam's first step is ~ lr*sign(grad), so elements
     # with |grad| near zero amplify reduction-order float noise into up-to-2lr
@@ -107,19 +127,36 @@ def test_one_train_step_matches_reference(reference_available):
     # and the mean deviation is a small fraction of lr.
     def assert_updates_close(ours, theirs, label):
         diff = np.abs(np.asarray(ours) - np.asarray(theirs))
-        assert diff.mean() < 0.1 * lr, f"{label}: mean diff {diff.mean()}"
-        frac_big = float((diff > 0.5 * lr).mean())
+        assert diff.mean() < 0.1 * LR, f"{label}: mean diff {diff.mean()}"
+        frac_big = float((diff > 0.5 * LR).mean())
         assert frac_big < 0.05, f"{label}: {frac_big:.1%} elements off >lr/2"
 
     ours_g = jax.device_get(state.g_params)["params"]
-    theirs_g = unet_params(ref_g)  # ref_g was updated in place by opt_g.step()
-    for path in (("down1", "down", "conv"), ("up7", "refine", "conv"),
-                 ("head", "proj")):
-        o = ours_g
-        t = theirs_g
-        for k in path:
-            o, t = o[k], t[k]
-        assert_updates_close(o["kernel"], t["kernel"], "/".join(path))
+    theirs_g = to_params(ref_g)  # updated in place by opt_g.step()
+
+    def leaves_of(t):
+        out = {}
+
+        def rec(node, prefix):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    rec(v, prefix + (k,))
+            else:
+                out["/".join(prefix)] = node
+
+        rec(t, ())
+        return out
+
+    lo, lt = leaves_of(ours_g), leaves_of(theirs_g)
+    assert set(lo) == set(lt)
+    # Per-leaf stats are meaningless for tiny bias vectors; check each large
+    # tensor individually plus all generator params pooled.
+    for name in lo:
+        if np.asarray(lo[name]).size >= 256:
+            assert_updates_close(lo[name], lt[name], f"G {name}")
+    pooled_o = np.concatenate([np.asarray(lo[n]).ravel() for n in sorted(lo)])
+    pooled_t = np.concatenate([np.asarray(lt[n]).ravel() for n in sorted(lt)])
+    assert_updates_close(pooled_o, pooled_t, "G pooled")
 
     ours_d = jax.device_get(state.d_params)["params"]
     theirs_d = patchdisc_params(ref_d)
@@ -129,21 +166,8 @@ def test_one_train_step_matches_reference(reference_available):
 
     # Second step on the same batch: systematic divergence would compound;
     # float noise stays within a loose relative tolerance.
-    fake = ref_g(a_t)
-    opt_d.zero_grad()
-    pred_fake = ref_d(a_t, fake.detach())
-    pred_real = ref_d(a_t, b_t)
-    loss_d2 = (tF.mse_loss(pred_fake, torch.zeros_like(pred_fake))
-               + tF.mse_loss(pred_real, torch.ones_like(pred_real))) / 2
-    loss_d2.backward()
-    opt_d.step()
-    opt_g.zero_grad()
-    pred_fake2 = ref_d(a_t, fake)
-    loss_g2 = tF.mse_loss(pred_fake2, torch.ones_like(pred_fake2))
-    (loss_g2 + tF.l1_loss(b_t, fake)).backward()
-    opt_g.step()
-
+    loss_d2, loss_g2, _ = _torch_step(ref_g, ref_d, opt_g, opt_d, a_t, b_t)
     state, m2 = step(state, jnp.asarray(src_u8), jnp.asarray(tgt_u8),
                      jax.random.key(6), apply_gp=False)
-    np.testing.assert_allclose(float(m2.loss_d), float(loss_d2), rtol=2e-2)
-    np.testing.assert_allclose(float(m2.loss_g), float(loss_g2), rtol=2e-2)
+    np.testing.assert_allclose(float(m2.loss_d), loss_d2, rtol=2e-2)
+    np.testing.assert_allclose(float(m2.loss_g), loss_g2, rtol=2e-2)
