@@ -1,2 +1,1 @@
 from tactile_gan_tpu.core.config import TrainConfig, build_arg_parser, config_from_args
-from tactile_gan_tpu.core.dtypes import DTypePolicy, default_policy

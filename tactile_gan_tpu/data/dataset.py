@@ -17,7 +17,7 @@ FileNotFoundError immediately instead of print-then-crash-on-unbound-variable
 from __future__ import annotations
 
 import concurrent.futures as cf
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 from PIL import Image

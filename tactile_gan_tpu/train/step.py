@@ -36,7 +36,7 @@ import optax
 from tactile_gan_tpu.core import rng as rng_streams
 from tactile_gan_tpu.core.config import TrainConfig
 from tactile_gan_tpu.data.augment import preprocess_batch
-from tactile_gan_tpu.losses.gan_loss import gan_loss, real_target
+from tactile_gan_tpu.losses.gan_loss import gan_loss
 from tactile_gan_tpu.losses.gradient_penalty import gradient_penalty
 from tactile_gan_tpu.losses.perceptual import l1_loss, pan_loss, vgg_perceptual_loss
 from tactile_gan_tpu.train.state import TrainState
