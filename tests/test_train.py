@@ -148,6 +148,32 @@ def test_version2_pan_loss_logged(tmp_path):
     assert tr.per_loss[0] > 0.0
 
 
+def test_ch_task_with_augmentation(tmp_path):
+    """Task-2 channel-wise target + joint augmentation through the full
+    train step (BASELINE config #5)."""
+    cfg = tiny_cfg(tmp_path, target="ch", no_aug=False, total_epochs=1)
+    ds = build_dataset(cfg)
+    assert ds.aug
+    tr = Trainer(cfg, ds, use_mesh=False)
+    tr.train(progress=False)
+    assert np.isfinite(tr.gen_loss[0])
+
+
+def test_checkpoint_interval_gating(tmp_path):
+    """checkpoint_interval saves model_{epoch}.pth when epoch % interval == 0
+    (/root/reference/train.py:187-188)."""
+    cfg = tiny_cfg(tmp_path, total_epochs=4, checkpoint_interval=2,
+                   initial_epoch=1, folder_save="ckgate")
+    ds = build_dataset(cfg)
+    tr = Trainer(cfg, ds, use_mesh=False)
+    tr.train(progress=False)
+    tr._async_ckpt.wait()
+    ck_dir = os.path.join(cfg.work_root, "checkpoints", "ckgate")
+    saved = sorted(os.listdir(ck_dir))
+    # epochs 1..4 -> saves at 2 and 4
+    assert saved == ["model_2.pth", "model_4.pth"]
+
+
 def test_gp_epoch_gating(tmp_path):
     """reg_every=2: GP only on even epochs (epoch = i + initial_epoch;
     /root/reference/train.py:123)."""
