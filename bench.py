@@ -44,10 +44,11 @@ def measure_ours(steps: int = 20):
     cfg = TrainConfig(gen="UNet++", nf=NF, batch_size=BATCH, image_size=SIZE,
                       loss="ls", lambda_per=0.0, lambda_gp=0.01,
                       compute_dtype="bfloat16", no_aug=False)
+    pallas = cfg.effective_use_pallas()  # fused norm kernels on TPU (+37%)
     gen = create_generator(cfg.gen, cfg.output_dim, cfg.nf, cfg.activation,
-                           compute_dtype=jnp.bfloat16)
+                           compute_dtype=jnp.bfloat16, use_pallas=pallas)
     disc = create_discriminator("patch", cfg.nf, cfg.activation,
-                                compute_dtype=jnp.bfloat16)
+                                compute_dtype=jnp.bfloat16, use_pallas=pallas)
     sched = multistep_lr(cfg.lr, cfg.epoch_constant, cfg.total_epochs, 100)
     g_tx = make_optimizer(sched, cfg.beta1)
     d_tx = make_optimizer(sched, cfg.beta1)
@@ -77,9 +78,15 @@ def measure_ours(steps: int = 20):
     train_ips = BATCH * steps / dt
 
     # Secondary: p50 single-image generator latency (the test.py hot path).
+    # Inference uses the XLA norm path (see eval/runner.py: the Pallas kernel
+    # only wins in the training backward).
+    gen_eval = create_generator(cfg.gen, cfg.output_dim, cfg.nf,
+                                cfg.activation, compute_dtype=jnp.bfloat16,
+                                use_pallas=False)
+
     @jax.jit
     def fwd(x):
-        out = gen.apply(state.g_params, x)
+        out = gen_eval.apply(state.g_params, x)
         return out, jnp.sum(out)
 
     one = jnp.zeros((1, SIZE, SIZE, 3))
@@ -99,7 +106,7 @@ def measure_ours(steps: int = 20):
     @jax.jit
     def fwd_chain(x, n):
         def body(_, h):
-            return gen.apply(state.g_params, h) * 0.5 + h * 0.5
+            return gen_eval.apply(state.g_params, h) * 0.5 + h * 0.5
         return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
     float(fwd_chain(one, 2))

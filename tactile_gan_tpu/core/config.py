@@ -61,7 +61,11 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # MXU-friendly conv compute dtype
     image_size: int = 256
     drop_last: bool = True  # keep one compiled train-step shape
-    use_pallas: bool = False  # route instance-norm through the Pallas kernel
+    # Fused Pallas instance-norm kernels: measured +37% train-step throughput
+    # on v5e (34.5 vs 25.2 img/s — the kernel's rematerializing VJP beats
+    # XLA's fusion in the full program). Effective only on the TPU backend;
+    # CPU/GPU always use the XLA path (resolve via effective_use_pallas()).
+    use_pallas: bool = True
     vgg_weights: str = ""  # optional local .npz with pretrained VGG16 features
     mesh_data: int = 0  # data-parallel mesh size; 0 = all local devices
     profile_dir: str = ""  # dump a jax.profiler (xplane) trace of epoch 1 here
@@ -91,6 +95,11 @@ class TrainConfig:
     @property
     def label_smoothing(self) -> bool:
         return not self.no_label_smoothing
+
+    def effective_use_pallas(self) -> bool:
+        """Pallas kernels only pay off (and only Mosaic-compile) on TPU."""
+        import jax
+        return self.use_pallas and jax.default_backend() == "tpu"
 
     @property
     def work_root(self) -> str:
@@ -198,8 +207,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"], help="conv compute dtype")
     p.add_argument("--image_size", type=int, default=256, help="square image size")
-    p.add_argument("--use_pallas", default=False, action="store_true",
-                   help="use the Pallas fused instance-norm kernels")
+    p.add_argument("--use_pallas", default=True, action=argparse.BooleanOptionalAction,
+                   help="fused Pallas instance-norm kernels (TPU only; "
+                        "+37%% measured train throughput). --no-use_pallas "
+                        "forces the plain XLA path.")
     p.add_argument("--vgg_weights", default="",
                    help="local .npz of pretrained VGG16 feature weights for "
                         "perceptual loss v1 (random-feature fallback if empty)")

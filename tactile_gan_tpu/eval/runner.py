@@ -41,10 +41,13 @@ def load_model(model_path: str, cfg: TrainConfig,
     reference test loader's always-Tanh default (test.py:37).
     """
     act = True if activation is None else activation
+    # Inference always uses the XLA norm path: the Pallas kernel's win is in
+    # its rematerializing VJP (training backward); forward-only at batch 1 it
+    # is ~3x slower on v5e (16 ms vs 5 ms per image, measured).
     gen = create_generator(cfg.gen, output_dim=cfg.output_dim, nf=cfg.nf,
                            activation=act,
                            compute_dtype=jnp.dtype(cfg.compute_dtype),
-                           use_pallas=cfg.use_pallas)
+                           use_pallas=False)
     example = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.input_dim))
     params = gen.init(jax.random.key(0), example)
     ckpt = load_checkpoint(model_path)

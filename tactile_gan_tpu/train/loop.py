@@ -60,10 +60,11 @@ class Trainer:
         self.gen_model = create_generator(
             cfg.gen, output_dim=cfg.output_dim, nf=cfg.nf,
             activation=cfg.activation, compute_dtype=compute_dtype,
-            use_pallas=cfg.use_pallas)
+            use_pallas=cfg.effective_use_pallas())
         self.disc_model = create_discriminator(
             "patch", nf=cfg.nf, activation=cfg.activation,
-            compute_dtype=compute_dtype, use_pallas=cfg.use_pallas)
+            compute_dtype=compute_dtype,
+            use_pallas=cfg.effective_use_pallas())
 
         vgg_apply = vgg_params = None
         if cfg.lambda_per != 0 and cfg.version == 1:
