@@ -97,9 +97,13 @@ class TrainConfig:
         return not self.no_label_smoothing
 
     def effective_use_pallas(self) -> bool:
-        """Pallas kernels only pay off (and only Mosaic-compile) on TPU."""
+        """Pallas kernels only pay off (and only Mosaic-compile) on TPU, and
+        only at small per-chip batches — measured on v5e at 256^2/nf=64:
+        batch 4: 34.9 (pallas) vs 25.2 (XLA) img/s; batch 16: 51.1 vs 67.1
+        (the kernel's grid serializes over the batch dim)."""
         import jax
-        return self.use_pallas and jax.default_backend() == "tpu"
+        return (self.use_pallas and jax.default_backend() == "tpu"
+                and self.batch_size <= 8)
 
     @property
     def work_root(self) -> str:
