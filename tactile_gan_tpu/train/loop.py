@@ -111,13 +111,19 @@ class Trainer:
                                         example_src, example_tgt, init_key,
                                         self.g_tx, self.d_tx)
         if restored is not None:
+            # Optimizer states may be absent (migrated torch checkpoints carry
+            # weights only); they then stay freshly initialized — the same
+            # "restart the schedule" behavior the reference has on resume.
             self.state = TrainState(
                 g_params=restore_partial(self.state.g_params, restored["gen"]),
-                d_params=restore_partial(self.state.d_params, restored["disc"]),
-                g_opt_state=restore_partial(self.state.g_opt_state,
-                                            restored["optimizerG_state_dict"]),
-                d_opt_state=restore_partial(self.state.d_opt_state,
-                                            restored["optimizerD_state_dict"]),
+                d_params=restore_partial(self.state.d_params,
+                                         restored.get("disc", {})),
+                g_opt_state=restore_partial(
+                    self.state.g_opt_state,
+                    restored.get("optimizerG_state_dict", {})),
+                d_opt_state=restore_partial(
+                    self.state.d_opt_state,
+                    restored.get("optimizerD_state_dict", {})),
                 step=jnp.asarray(step_offset, jnp.int32),
             )
         if self.mesh is not None:

@@ -65,6 +65,13 @@ class AsyncCheckpointer:
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a checkpoint — ours (msgpack) or a PyTorch reference
+    final_model.pth (auto-detected and converted, weights only), so trained
+    reference models drop straight into test.py / --continue_training."""
+    from tactile_gan_tpu.utils import torch_migrate
+
+    if torch_migrate.is_torch_checkpoint(path):
+        return torch_migrate.load_torch_checkpoint(path)
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 

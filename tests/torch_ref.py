@@ -110,85 +110,24 @@ def randomize_(module: torch.nn.Module, seed: int = 0) -> None:
                 rng.normal(scale=0.05, size=tuple(p.shape)).astype(np.float32)))
 
 
-def _conv(sd, name):
-    out = {"kernel": sd[f"{name}.weight"].numpy().transpose(2, 3, 1, 0)}
-    if f"{name}.bias" in sd:
-        out["bias"] = sd[f"{name}.bias"].numpy()
-    return out
+from tactile_gan_tpu.utils import torch_migrate as _tm
 
 
-def _convT(sd, name):
-    out = {"kernel": sd[f"{name}.weight"].numpy().transpose(2, 3, 0, 1)}
-    if f"{name}.bias" in sd:
-        out["bias"] = sd[f"{name}.bias"].numpy()
-    return out
-
-
-def _norm(sd, name):
-    return {"scale": sd[f"{name}.weight"].numpy(),
-            "offset": sd[f"{name}.bias"].numpy()}
-
-
-def _cnr(sd, conv_name, norm_name):
-    return {"conv": _conv(sd, conv_name), "norm": _norm(sd, norm_name)}
+def _sd(model):
+    return {k: v.numpy() for k, v in model.state_dict().items()}
 
 
 def unet_params(model) -> dict:
-    sd = model.state_dict()
-    p = {}
-    for i in range(1, 8):
-        base = f"conv{i}.layer"
-        p[f"down{i}"] = {"down": _cnr(sd, f"{base}.0", f"{base}.1"),
-                         "refine": _cnr(sd, f"{base}.3", f"{base}.4")}
-    for ours, theirs in zip(range(1, 8), range(2, 9)):
-        base = f"deconv{theirs}.layer"
-        p[f"up{ours}"] = {"up": _convT(sd, f"{base}.0"),
-                          "norm": _norm(sd, f"{base}.1"),
-                          "refine": _cnr(sd, f"{base}.3", f"{base}.4")}
-    p["head"] = {"proj": _conv(sd, "downfeature.conv")}
-    return p
+    return _tm.unet_from_torch(_sd(model))
 
 
 def unetpp_params(model) -> dict:
-    sd = model.state_dict()
-    p = {}
-    for row in range(5):
-        for col in range(5 - row):
-            base = f"conv{row}_{col}.layer"
-            p[f"node{row}_{col}"] = {"a": _cnr(sd, f"{base}.0", f"{base}.1"),
-                                     "b": _cnr(sd, f"{base}.3", f"{base}.4")}
-    p["head"] = {"proj": _conv(sd, "downfeature.conv")}
-    return p
+    return _tm.unetpp_from_torch(_sd(model))
 
 
 def bcdunet_params(model) -> dict:
-    sd = model.state_dict()
-
-    def dbl(base):
-        # BCDUNet conv blocks: biased convs, non-affine norm (no norm params).
-        return {"a": {"conv": _conv(sd, f"{base}.0")},
-                "b": {"conv": _conv(sd, f"{base}.3")}}
-
-    p = {}
-    for i in range(1, 5):
-        p[f"enc{i}"] = dbl(f"conv{i}")
-    for i in range(1, 4):
-        p[f"up{i}"] = _convT(sd, f"upconv{i}")
-        p[f"dec{i}"] = dbl(f"conv{i}m")
-    p["head"] = {"proj": _conv(sd, "conv0")}
-    return p
+    return _tm.bcdunet_from_torch(_sd(model))
 
 
 def patchdisc_params(model) -> dict:
-    sd = model.state_dict()
-    p = {
-        "block1_conv": _conv(sd, "model.0"),
-        "block2_conv": _conv(sd, "model.2"),
-        "block2_norm": _norm(sd, "model.3"),
-        "block3_conv": _conv(sd, "model.5"),
-        "block3_norm": _norm(sd, "model.6"),
-        "block4_conv": _conv(sd, "model.8"),
-        "block4_norm": _norm(sd, "model.9"),
-        "patch_head": _conv(sd, "model.11"),
-    }
-    return p
+    return _tm.patchdisc_from_torch(_sd(model))
