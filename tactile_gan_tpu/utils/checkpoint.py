@@ -79,12 +79,11 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 def restore_partial(template: Any, state_dict: Any) -> Any:
     """Recursively merge ``state_dict`` into the structure of ``template``,
     keeping template leaves where the checkpoint has no matching key — the
-    functional analogue of load_state_dict(strict=False)."""
-    if isinstance(template, dict) or hasattr(template, "items"):
-        plain_template = serialization.to_state_dict(template)
-        merged = _merge(plain_template, state_dict)
-        return serialization.from_state_dict(template, merged)
-    return serialization.from_state_dict(template, state_dict)
+    functional analogue of load_state_dict(strict=False). Works on any
+    pytree (optax tuples serialize to indexed dicts in state-dict form)."""
+    plain_template = serialization.to_state_dict(template)
+    merged = _merge(plain_template, state_dict)
+    return serialization.from_state_dict(template, merged)
 
 
 def _merge(template: Any, incoming: Any) -> Any:
