@@ -37,12 +37,18 @@ _BLOCK_BYTES = 1024 * 1024
 
 
 def _pick_tile(hw: int, c: int, itemsize: int) -> int:
-    """Largest power-of-two divisor of hw whose block fits the VMEM budget."""
+    """Largest power-of-two divisor of hw whose block fits the VMEM budget.
+
+    VMEM tiles pad the lane (last) dimension to 128, so the physical block is
+    t x max(c, 128) regardless of the logical channel count — budgeting on
+    the logical width OOMs for narrow layers (seen at C=16: a (16384, 16)
+    logical block is a 8 MiB physical tile)."""
+    c_padded = max(c, 128)
     t = 1
     while (
         t < hw
         and hw % (t * 2) == 0
-        and (t * 2) * c * itemsize <= _BLOCK_BYTES
+        and (t * 2) * c_padded * itemsize <= _BLOCK_BYTES
     ):
         t *= 2
     return t
