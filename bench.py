@@ -28,10 +28,9 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 CACHE_KEY = f"torch_cpu_unetpp_nf{NF}_b{BATCH}_{SIZE}_ls_gp"
 
 
-def measure_ours(steps: int = 20):
+def _build_step(batch, use_pallas):
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from tactile_gan_tpu.core.config import TrainConfig
     from tactile_gan_tpu.models.factory import (
@@ -41,45 +40,141 @@ def measure_ours(steps: int = 20):
     from tactile_gan_tpu.train.state import create_train_state, make_optimizer
     from tactile_gan_tpu.train.step import build_train_step
 
-    cfg = TrainConfig(gen="UNet++", nf=NF, batch_size=BATCH, image_size=SIZE,
+    cfg = TrainConfig(gen="UNet++", nf=NF, batch_size=batch, image_size=SIZE,
                       loss="ls", lambda_per=0.0, lambda_gp=0.01,
-                      compute_dtype="bfloat16", no_aug=False)
-    pallas = cfg.effective_use_pallas()  # fused norm kernels on TPU (+37%)
+                      compute_dtype="bfloat16", no_aug=False,
+                      use_pallas=use_pallas)
     gen = create_generator(cfg.gen, cfg.output_dim, cfg.nf, cfg.activation,
-                           compute_dtype=jnp.bfloat16, use_pallas=pallas)
+                           compute_dtype=jnp.bfloat16, use_pallas=use_pallas)
     disc = create_discriminator("patch", cfg.nf, cfg.activation,
-                                compute_dtype=jnp.bfloat16, use_pallas=pallas)
+                                compute_dtype=jnp.bfloat16,
+                                use_pallas=use_pallas)
     sched = multistep_lr(cfg.lr, cfg.epoch_constant, cfg.total_epochs, 100)
     g_tx = make_optimizer(sched, cfg.beta1)
     d_tx = make_optimizer(sched, cfg.beta1)
 
-    ex_s = jnp.zeros((BATCH, SIZE, SIZE, 3))
-    ex_t = jnp.zeros((BATCH, SIZE, SIZE, 3))
+    ex_s = jnp.zeros((batch, SIZE, SIZE, 3))
+    ex_t = jnp.zeros((batch, SIZE, SIZE, 3))
     state = create_train_state(gen, disc, ex_s, ex_t, jax.random.key(0),
                                g_tx, d_tx)
     step = build_train_step(cfg, gen, disc, g_tx, d_tx)
+    return cfg, gen, state, step
+
+
+def _time_step(step, state, batch, steps):
+    """images/s of a compiled step. Scalar readback = true completion (the
+    axon relay does not reliably honor block_until_ready)."""
+    import jax
+    import numpy as np
 
     rng = np.random.default_rng(0)
-    src = jnp.asarray(rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8))
-    tgt = jnp.asarray(rng.integers(0, 255, (BATCH, SIZE, SIZE, 3), dtype=np.uint8))
+    import jax.numpy as jnp
+    src = jnp.asarray(rng.integers(0, 255, (batch, SIZE, SIZE, 3),
+                                   dtype=np.uint8))
+    tgt = jnp.asarray(rng.integers(0, 255, (batch, SIZE, SIZE, 3),
+                                   dtype=np.uint8))
     key = jax.random.key(1)
-
-    # Warmup / compile. NOTE: through the axon relay block_until_ready does
-    # not reliably block, so all timing syncs use scalar value readback.
     for _ in range(2):
         state, m = step(state, src, tgt, key, apply_gp=True)
     float(m.loss_d)
-
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = step(state, src, tgt, key, apply_gp=True)
-    float(m.loss_d)  # forces completion of the whole chained sequence
-    dt = time.perf_counter() - t0
-    train_ips = BATCH * steps / dt
+    float(m.loss_d)
+    return batch * steps / (time.perf_counter() - t0), (src, tgt, key, state)
+
+
+def measure_ours(steps: int = 20):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tactile_gan_tpu.core.config import TrainConfig
+
+    probe_cfg = TrainConfig(batch_size=BATCH)
+    pallas_default = probe_cfg.effective_use_pallas()
+    cfg, gen, state, step = _build_step(BATCH, pallas_default)
+    train_ips, (src, tgt, key, state) = _time_step(step, state, BATCH, steps)
+
+    # ---------------- observability extras ----------------
+    extra = {}
+
+    # MFU estimate from XLA's own cost model of the compiled step (flops of
+    # one full G+D+GP step / wall time / chip peak). jit cache makes the
+    # lower+compile here free.
+    try:
+        compiled = step.lower(state, src, tgt, key, apply_gp=True).compile()
+        flops = float(compiled.cost_analysis()["flops"])
+        peak = {"tpu": 197e12}.get(jax.default_backend())  # v5e bf16 peak
+        if peak:
+            extra["mfu_estimate"] = round(
+                flops * (train_ips / BATCH) / peak, 4)
+        extra["step_tflops"] = round(flops / 1e12, 3)
+    except Exception:
+        pass
+
+    # Stage fractions via cheap jitted sub-programs (aug, generator fwd).
+    try:
+        from tactile_gan_tpu.data.augment import preprocess_batch
+
+        @jax.jit
+        def aug_only(s, t, k):
+            a, b = preprocess_batch(s, t, k, augment=True)
+            return jnp.sum(a) + jnp.sum(b)
+
+        float(aug_only(src, tgt, key))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            r = aug_only(src, tgt, key)
+        float(r)
+        aug_ms = (time.perf_counter() - t0) / steps * 1e3
+
+        @jax.jit
+        def g_fwd(p, s):
+            return jnp.sum(gen.apply(p, s))
+
+        x = jnp.zeros((BATCH, SIZE, SIZE, 3))
+        float(g_fwd(state.g_params, x))
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            r = g_fwd(state.g_params, x)
+        float(r)
+        gfwd_ms = (time.perf_counter() - t0) / steps * 1e3
+
+        step_ms = BATCH / train_ips * 1e3
+        extra["stage_ms"] = {
+            "full_step": round(step_ms, 2),
+            "augment": round(aug_ms, 2),
+            "g_forward": round(gfwd_ms, 2),
+        }
+        extra["stage_fractions"] = {
+            "augment": round(aug_ms / step_ms, 3),
+            "g_forward": round(gfwd_ms / step_ms, 3),
+        }
+    except Exception as e:
+        extra["stage_error"] = str(e)
+
+    # Throughput matrix: batch {4,16} x {pallas, xla} — the gating evidence
+    # for effective_use_pallas(), re-measured every round.
+    matrix = {f"b{BATCH}_" + ("pallas" if pallas_default else "xla"):
+              round(train_ips, 3)}
+    if jax.default_backend() == "tpu":
+        for b, up in ((BATCH, not pallas_default), (16, True), (16, False)):
+            kname = f"b{b}_" + ("pallas" if up else "xla")
+            if kname in matrix:
+                continue
+            try:
+                _, _, st2, step2 = _build_step(b, up)
+                ips2, _ = _time_step(step2, st2, b, max(8, steps // 2))
+                matrix[kname] = round(ips2, 3)
+            except Exception as e:
+                matrix[kname] = f"error: {e}"
+    extra["throughput_matrix"] = matrix
 
     # Secondary: p50 single-image generator latency (the test.py hot path).
     # Inference uses the XLA norm path (see eval/runner.py: the Pallas kernel
     # only wins in the training backward).
+    from tactile_gan_tpu.models.factory import create_generator
     gen_eval = create_generator(cfg.gen, cfg.output_dim, cfg.nf,
                                 cfg.activation, compute_dtype=jnp.bfloat16,
                                 use_pallas=False)
@@ -117,7 +212,7 @@ def measure_ours(steps: int = 20):
     float(fwd_chain(one, 2))
     t_short = time.perf_counter() - t0
     device_ms = max(0.0, (t_long - t_short) / 20.0 * 1e3)
-    return train_ips, p50_ms, device_ms
+    return train_ips, p50_ms, device_ms, extra
 
 
 def measure_torch_baseline(steps: int = 3):
@@ -188,7 +283,7 @@ def measure_torch_baseline(steps: int = 3):
 
 
 def main():
-    train_ips, p50_ms, device_ms = measure_ours()
+    train_ips, p50_ms, device_ms, extra = measure_ours()
     try:
         baseline_ips = measure_torch_baseline()
     except Exception as e:  # reference missing: report raw throughput only
@@ -206,6 +301,7 @@ def main():
             "torch_cpu_baseline_images_per_sec": (
                 round(baseline_ips, 3) if baseline_ips else None),
             "backend": __import__("jax").default_backend(),
+            **extra,
         },
     }
     print(json.dumps(result))

@@ -68,6 +68,19 @@ class TrainConfig:
     use_pallas: bool = True
     vgg_weights: str = ""  # optional local .npz with pretrained VGG16 features
     mesh_data: int = 0  # data-parallel mesh size; 0 = all local devices
+    mesh_model: int = 1  # tensor-parallel mesh size (splits wide conv kernels)
+    # Reproduce the reference's label-smoothing quirk: the real-target noise
+    # is sampled ONCE and reused for every batch of the run
+    # (/root/reference/generators/generators.py:52-63). Off = fresh per-step
+    # noise (the TPU-native default). Note the reference breaks on a smaller
+    # final batch (expand_as of the full-size cache); our static-shape
+    # batching (drop_last / pad_mode) sidesteps that by construction.
+    legacy_label_cache: bool = False
+    # TPU perf VARIANT (UNet++ only, off by default because it changes the
+    # network): run the full-resolution row 2x2-folded (space-to-depth) —
+    # half the spatial iterations, double the MXU lane occupancy. Checkpoints
+    # are variant-specific. Measurements in BASELINE.md.
+    space_to_depth: bool = False
     profile_dir: str = ""  # dump a jax.profiler (xplane) trace of epoch 1 here
     debug_nans: bool = False  # jax_debug_nans + per-epoch non-finite guard
 
@@ -137,10 +150,14 @@ class TrainConfig:
         d["w_per"] = list(self.w_per)
         return d
 
-    def save_params(self, folderpath: str) -> None:
-        """Write params.txt like /root/reference/train.py:222-227."""
+    def save_params(self, folderpath: str, extra: Optional[dict] = None) -> None:
+        """Write params.txt like /root/reference/train.py:222-227. ``extra``
+        adds run-provenance keys (ignored by every reader, ours included)."""
+        d = self.to_params_dict()
+        if extra:
+            d.update(extra)
         with open(os.path.join(folderpath, "params.txt"), "w") as f:
-            f.write(json.dumps(self.to_params_dict()))
+            f.write(json.dumps(d))
 
     @classmethod
     def from_params_file(cls, path: str) -> "TrainConfig":
@@ -220,6 +237,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "perceptual loss v1 (random-feature fallback if empty)")
     p.add_argument("--mesh_data", type=int, default=0,
                    help="data-parallel mesh size (0 = all local devices)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel mesh size; splits wide conv kernels "
+                        "(>=256 output channels) over the 'model' axis")
+    p.add_argument("--space_to_depth", default=False, action="store_true",
+                   help="UNet++ perf variant: run the full-resolution row "
+                        "2x2-folded (changes the network; checkpoints are "
+                        "variant-specific)")
+    p.add_argument("--legacy_label_cache", default=False, action="store_true",
+                   help="reference-exact label smoothing: sample the real-"
+                        "target noise once and reuse it for every batch "
+                        "(reference generators.py:52-63) instead of fresh "
+                        "per-step noise")
     p.add_argument("--profile_dir", default="",
                    help="dump a jax.profiler trace of the first epoch here")
     p.add_argument("--debug_nans", default=False, action="store_true",

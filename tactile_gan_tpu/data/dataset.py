@@ -72,12 +72,18 @@ class PairedDataset:
         drop_last: bool = False,
         threads: int = 8,
         pad_to_batch: bool = False,
+        local_rows: slice = slice(None),
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
         """Yield (source u8 [B,H,W,3], target u8 [B,H,W,3], valid_count).
 
         With ``pad_to_batch`` the final short batch is padded by repeating its
         last sample so every device batch has one static shape;
         ``valid_count`` tells the consumer how many rows are real.
+
+        ``local_rows`` restricts decode + output to a contiguous row range of
+        each (padded) global batch — multi-host data parallelism: every
+        process walks the same shuffled order but only materializes its own
+        shard (parallel/mesh.py local_batch_rows). valid_count stays global.
         """
         order = np.arange(len(self.images))
         if shuffle:
@@ -98,14 +104,14 @@ class PairedDataset:
                     cf.ThreadPoolExecutor(max_workers=1) as staging:
 
                 def assemble(idx: np.ndarray):
+                    valid = len(idx)
+                    idx = list(idx)
+                    if pad_to_batch and valid < batch_size:
+                        idx += [idx[-1]] * (batch_size - valid)
+                    idx = idx[local_rows]
                     pairs = list(decode.map(self.load_pair, idx))
                     srcs = np.stack([p[0] for p in pairs])
                     tgts = np.stack([p[1] for p in pairs])
-                    valid = len(idx)
-                    if pad_to_batch and valid < batch_size:
-                        reps = batch_size - valid
-                        srcs = np.concatenate([srcs, np.repeat(srcs[-1:], reps, 0)])
-                        tgts = np.concatenate([tgts, np.repeat(tgts[-1:], reps, 0)])
                     return srcs, tgts, valid
 
                 pending = staging.submit(assemble, chunks[0])

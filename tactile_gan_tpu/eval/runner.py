@@ -47,7 +47,9 @@ def load_model(model_path: str, cfg: TrainConfig,
     gen = create_generator(cfg.gen, output_dim=cfg.output_dim, nf=cfg.nf,
                            activation=act,
                            compute_dtype=jnp.dtype(cfg.compute_dtype),
-                           use_pallas=False)
+                           use_pallas=False,
+                           space_to_depth=getattr(cfg, "space_to_depth",
+                                                  False))
     example = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.input_dim))
     params = gen.init(jax.random.key(0), example)
     ckpt = load_checkpoint(model_path)

@@ -25,14 +25,17 @@ def create_generator(
     activation: bool = True,
     compute_dtype: jnp.dtype = jnp.float32,
     use_pallas: bool = False,
+    space_to_depth: bool = False,
 ) -> nn.Module:
     kw = dict(output_dim=output_dim, nf=nf, activation=activation,
               compute_dtype=compute_dtype, use_pallas=use_pallas)
     key = name.lower()
+    if space_to_depth and key != "unet++":
+        raise ValueError("--space_to_depth is only supported for UNet++")
     if key == "unet":
         return UNet(**kw)
     if key == "unet++":
-        return UNetPlusPlus(**kw)
+        return UNetPlusPlus(space_to_depth=space_to_depth, **kw)
     if key == "bcdunet":
         return BCDUNet(**kw)
     raise NameError(f"{name} not a valid generator")

@@ -23,10 +23,15 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if x.shape[1] < 128 or x.shape[2] < 128:
+        if x.shape[1] < 256 or x.shape[2] < 256:
+            # 7 stride-2 stages: 128px reaches a 1x1 bottleneck where instance
+            # norm is degenerate (output collapses to the learned offset) and
+            # the torch reference errors outright (InstanceNorm2d rejects 1x1
+            # spatial) — so 256 is the reference's effective minimum.
             raise ValueError(
-                f"UNet needs inputs of at least 128x128 (7 stride-2 stages); "
-                f"got {x.shape[1]}x{x.shape[2]}. Use UNet++ or BCDUNet for "
+                f"UNet needs inputs of at least 256x256 (7 stride-2 stages; "
+                f"the reference errors below that); got "
+                f"{x.shape[1]}x{x.shape[2]}. Use UNet++ or BCDUNet for "
                 "smaller images.")
         kw = dict(compute_dtype=self.compute_dtype, use_pallas=self.use_pallas)
         nf = self.nf

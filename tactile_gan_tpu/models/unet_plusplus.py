@@ -19,43 +19,78 @@ import jax.numpy as jnp
 
 from tactile_gan_tpu.models.blocks import DoubleConvBlock, Head
 from tactile_gan_tpu.ops.pool import avg_pool2
-from tactile_gan_tpu.ops.resize import upsample_nearest2
+from tactile_gan_tpu.ops.resize import (
+    depth_to_space2, space_to_depth2, upsample_nearest2,
+)
 
 
 class UNetPlusPlus(nn.Module):
+    """``space_to_depth=True`` is a TPU-performance VARIANT (off by default;
+    --space_to_depth): the full-resolution row runs in 2x2-folded space
+    (H/2 x W/2 x 4C), quartering the row-0 conv FLOPs and feeding the MXU
+    4x-wider channels, with a depth-to-space unfold before the head. It
+    CHANGES the network (different receptive fields at row 0), so checkpoints
+    and parity are per-variant — see BASELINE.md for measurements."""
+
     output_dim: int = 3
     nf: int = 64
     activation: bool = True
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x):
         kw = dict(compute_dtype=self.compute_dtype, use_pallas=self.use_pallas)
         nf = self.nf
-        widths = [nf, nf * 2, nf * 4, nf * 8, nf * 16]
+        s2d = self.space_to_depth
+        widths = [2 * nf if s2d else nf, nf * 2, nf * 4, nf * 8, nf * 16]
+        if s2d:
+            if nf % 2:
+                raise ValueError("space_to_depth needs an even nf (the row-0 "
+                                 "width 2*nf must unfold by 4 at the head)")
+            # Row 0 runs in 2x2-folded space: stored H/2 x W/2 x 2nf, read as
+            # logical H x W x nf/2. Same conv FLOPs as the unfolded row at
+            # half the spatial iterations and double the lane occupancy.
+            x = space_to_depth2(x)
 
         def block(row, col, h):
             return DoubleConvBlock(widths[row], name=f"node{row}_{col}", **kw)(h)
+
+        def pool_row0(h):
+            # Logical avg_pool2 of the folded row-0 tensor = mean over the
+            # four 2x2-position channel groups (no spatial op needed).
+            n_, hh, ww, c = h.shape
+            return h.reshape(n_, hh, ww, 4, c // 4).mean(axis=3)
 
         # Backbone column 0.
         nodes = {}
         h = x
         for row in range(5):
-            if row > 0:
+            if row == 1 and s2d:
+                h = pool_row0(h)
+            elif row > 0:
                 h = avg_pool2(h)
             h = block(row, 0, h)
             nodes[(row, 0)] = h
 
         # Nested grid: node(row, col) sees all nodes at its row up to col-1
-        # plus the upsampled node one row deeper at col-1.
+        # plus the upsampled node one row deeper at col-1. In s2d mode the
+        # row-1 node is already spatially aligned with folded row 0, so it is
+        # concatenated directly (each logical 2x2 block reads the feature
+        # once — cheaper than the faithful 4x channel-tile, same information).
         for col in range(1, 5):
             for row in range(0, 5 - col):
                 inputs = [nodes[(row, c)] for c in range(col)]
-                inputs.append(upsample_nearest2(nodes[(row + 1, col - 1)]))
+                below = nodes[(row + 1, col - 1)]
+                inputs.append(below if (row == 0 and s2d)
+                              else upsample_nearest2(below))
                 nodes[(row, col)] = block(row, col, jnp.concatenate(inputs, axis=-1))
 
+        out = nodes[(0, 4)]
+        if s2d:
+            out = depth_to_space2(out)  # back to H x W x nf/2 for the head
         return Head(
             self.output_dim, activation=self.activation,
             compute_dtype=self.compute_dtype, name="head",
-        )(nodes[(0, 4)])
+        )(out)

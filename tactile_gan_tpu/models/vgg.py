@@ -39,12 +39,33 @@ ENV_WEIGHTS = "TACTILE_GAN_VGG_WEIGHTS"
 _warned = False
 
 
+def resolve_weights_path(weights_path: str = "") -> str:
+    """The .npz path that load_vgg_features would use; '' if none exists."""
+    path = weights_path or os.environ.get(ENV_WEIGHTS, "")
+    return path if path and os.path.exists(path) else ""
+
+
+def fallback_banner() -> str:
+    """Unmissable per-run notice for the random-feature fallback (the
+    one-time UserWarning is easy to lose in a long training log)."""
+    return (
+        "=" * 72 + "\n"
+        "!! PERCEPTUAL LOSS V1 IS USING DETERMINISTIC *RANDOM* VGG FEATURES !!\n"
+        "No pretrained VGG16 weights were found. The reference optimizes\n"
+        "against ImageNet-pretrained VGG16 (/root/reference/util.py:104-107);\n"
+        "this run optimizes a different perceptual objective. Supply weights\n"
+        f"via --vgg_weights or ${ENV_WEIGHTS} (see scripts/export_vgg_weights.py),\n"
+        "or silence this by training with --lambda_per 0 or --version 2.\n"
+        "params.txt will record vgg_random_fallback=true for this run.\n"
+        + "=" * 72)
+
+
 def load_vgg_features(weights_path: str = "") -> dict:
     """Returns {'features.<idx>.kernel': HWIO, 'features.<idx>.bias': [C]}."""
     global _warned
-    path = weights_path or os.environ.get(ENV_WEIGHTS, "")
+    path = resolve_weights_path(weights_path)
     params = {}
-    if path and os.path.exists(path):
+    if path:
         raw = np.load(path)
         for block in _BLOCKS:
             for idx, _ in block:

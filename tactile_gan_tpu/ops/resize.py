@@ -22,6 +22,24 @@ def upsample_nearest2(x: jax.Array) -> jax.Array:
     return x.reshape(n, h * 2, w * 2, c)
 
 
+def space_to_depth2(x: jax.Array) -> jax.Array:
+    """[N, H, W, C] -> [N, H/2, W/2, 4C]: 2x2 pixel blocks fold into channels
+    (lane-friendly: quadruples the channel dim the MXU contracts over)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space2(x: jax.Array) -> jax.Array:
+    """Inverse of space_to_depth2: [N, H, W, 4C] -> [N, 2H, 2W, C]."""
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, 2 * h, 2 * w, c)
+
+
 def _axis_weights(in_size: int, out_size: int):
     """Half-pixel-center source indices and lerp weights for one axis."""
     scale = in_size / out_size

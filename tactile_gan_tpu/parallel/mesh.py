@@ -29,13 +29,23 @@ def maybe_init_distributed() -> bool:
     """Initialize jax.distributed for multi-host runs.
 
     TPU pods set the coordination env automatically; on other setups export
-    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID. No-op (and
-    returns False) for single-process runs, so the same entry point serves a
-    laptop, 1 chip, and a slice.
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID (explicitly
+    forwarded — jax's own auto-detect only knows cluster schedulers). No-op
+    (and returns False) for single-process runs, so the same entry point
+    serves a laptop, 1 chip, and a slice.
     """
     import os
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") is None and \
-            os.environ.get("TPU_WORKER_HOSTNAMES", "localhost") in ("", "localhost"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]))
+            return True
+        except (RuntimeError, ValueError):
+            return False  # already initialized
+    if os.environ.get("TPU_WORKER_HOSTNAMES", "localhost") in ("", "localhost"):
         return False
     try:
         jax.distributed.initialize()
@@ -65,10 +75,34 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def local_batch_rows(global_batch: int) -> slice:
+    """The contiguous rows of the global batch this process must feed.
+
+    Devices are laid out process-contiguously in ``jax.devices()`` (and hence
+    in make_mesh's grid), so process p owns rows [p*B/P, (p+1)*B/P). For one
+    process this is the whole batch.
+    """
+    pc, p = jax.process_count(), jax.process_index()
+    if global_batch % pc:
+        raise ValueError(f"global batch {global_batch} must divide evenly "
+                         f"over {pc} processes")
+    per = global_batch // pc
+    return slice(p * per, (p + 1) * per)
+
+
 def shard_batch(mesh: Mesh, *arrays) -> tuple:
-    """Place host arrays onto the mesh, batch dim split over 'data'."""
+    """Place host arrays onto the mesh, batch dim split over 'data'.
+
+    Single-process: ``arrays`` are full global batches. Multi-process:
+    ``arrays`` are each process's local rows (see local_batch_rows) and the
+    global array is assembled without any cross-host data movement.
+    """
     s = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, s) for a in arrays)
+    if jax.process_count() > 1:
+        out = tuple(jax.make_array_from_process_local_data(s, a)
+                    for a in arrays)
+    else:
+        out = tuple(jax.device_put(a, s) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 

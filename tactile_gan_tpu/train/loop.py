@@ -21,7 +21,9 @@ from tactile_gan_tpu.core.config import TrainConfig
 from tactile_gan_tpu.data.dataset import PairedDataset
 from tactile_gan_tpu.models.factory import create_discriminator, create_generator
 from tactile_gan_tpu.models.vgg import load_vgg_features, vgg_features_apply
-from tactile_gan_tpu.parallel.mesh import make_mesh, shard_batch, shard_state
+from tactile_gan_tpu.parallel.mesh import (
+    local_batch_rows, make_mesh, shard_batch, shard_state, shard_state_tp,
+)
 from tactile_gan_tpu.train.schedule import multistep_lr
 from tactile_gan_tpu.train.state import TrainState, create_train_state, make_optimizer
 from tactile_gan_tpu.train.step import build_train_step
@@ -43,16 +45,19 @@ class Trainer:
                  mesh=None, use_mesh: bool = True):
         self.cfg = cfg
         self.dataset = dataset
+        n_model = max(1, cfg.mesh_model)
         if mesh is not None:
             self.mesh = mesh
         elif use_mesh:
             # Data-parallel width must divide the global batch; default to
-            # the largest divisor the local devices allow.
-            n = cfg.mesh_data if cfg.mesh_data > 0 else len(jax.devices())
-            n = min(n, cfg.batch_size)
+            # the largest divisor the local devices allow (after reserving
+            # the tensor-parallel 'model' axis).
+            avail = len(jax.devices()) // n_model
+            n = cfg.mesh_data if cfg.mesh_data > 0 else avail
+            n = min(n, cfg.batch_size, avail)
             while cfg.batch_size % n:
                 n -= 1
-            self.mesh = make_mesh(n) if n > 1 else None
+            self.mesh = make_mesh(n, n_model) if n * n_model > 1 else None
         else:
             self.mesh = None
 
@@ -60,20 +65,35 @@ class Trainer:
         self.gen_model = create_generator(
             cfg.gen, output_dim=cfg.output_dim, nf=cfg.nf,
             activation=cfg.activation, compute_dtype=compute_dtype,
-            use_pallas=cfg.effective_use_pallas())
+            use_pallas=cfg.effective_use_pallas(),
+            space_to_depth=cfg.space_to_depth)
         self.disc_model = create_discriminator(
             "patch", nf=cfg.nf, activation=cfg.activation,
             compute_dtype=compute_dtype,
             use_pallas=cfg.effective_use_pallas())
 
         vgg_apply = vgg_params = None
+        self.vgg_random_fallback = False
         if cfg.lambda_per != 0 and cfg.version == 1:
+            from tactile_gan_tpu.models.vgg import (
+                fallback_banner, resolve_weights_path,
+            )
+            if not resolve_weights_path(cfg.vgg_weights):
+                self.vgg_random_fallback = True
+                if jax.process_index() == 0:
+                    print(fallback_banner())
             vgg_apply = vgg_features_apply
             vgg_params = load_vgg_features(cfg.vgg_weights)
 
         # Batching geometry: static step shapes. With enough data we drop the
         # last partial batch (the compiled-shape analogue of the reference's
         # ragged final batch); tiny datasets pad-and-repeat instead.
+        # KNOWN BIAS in pad mode: the duplicated pad rows participate in the
+        # loss means, slightly up-weighting the repeated sample vs the
+        # reference's ragged final batch. Pad mode only triggers for datasets
+        # smaller than one batch (or explicit drop_last=False), where exact
+        # reference parity is already ill-defined (the reference crashes on
+        # sub-batch datasets with label smoothing, generators.py:52-63).
         n = len(dataset)
         if n == 0:
             raise ValueError(f"no images found under {dataset.img_dir}")
@@ -95,6 +115,7 @@ class Trainer:
         schedule = multistep_lr(cfg.lr, cfg.epoch_constant, cfg.total_epochs,
                                 self.steps_per_epoch, step_offset=step_offset)
         self._schedule = schedule
+        self.step_offset = step_offset
         self.g_tx = make_optimizer(schedule, cfg.beta1)
         self.d_tx = make_optimizer(schedule, cfg.beta1)
 
@@ -127,11 +148,21 @@ class Trainer:
                 step=jnp.asarray(step_offset, jnp.int32),
             )
         if self.mesh is not None:
-            self.state = shard_state(self.mesh, self.state)
+            if self.mesh.shape.get("model", 1) > 1:
+                self.state = shard_state_tp(self.mesh, self.state)
+            else:
+                self.state = shard_state(self.mesh, self.state)
 
         self.step_fn = build_train_step(
             cfg, self.gen_model, self.disc_model, self.g_tx, self.d_tx,
             vgg_apply=vgg_apply, vgg_params=vgg_params)
+
+        # Multi-host: every process walks the same shuffled order but decodes
+        # only its own batch rows; artifact/checkpoint writes and progress
+        # prints happen on process 0 only.
+        self.is_main_process = jax.process_index() == 0
+        self._local_rows = (local_batch_rows(cfg.batch_size)
+                            if jax.process_count() > 1 else slice(None))
 
         # Per-epoch loss curves (reference train.py:64-68).
         self.gen_loss, self.disc_loss = [], []
@@ -156,13 +187,24 @@ class Trainer:
                            else _null_cm())
             metrics = []
             with profiler_cm:
+                # Device-side input prefetch: the H2D copy of batch k+1 is
+                # enqueued before batch k's step is awaited, so the transfer
+                # rides under the running step (the host loader already
+                # double-buffers decode; this double-buffers the device copy).
+                staged = None
                 for src_u8, tgt_u8, _ in self.dataset.batches(
                         cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
                         drop_last=not self.pad_mode, pad_to_batch=self.pad_mode,
-                        threads=cfg.threads):
-                    if self.mesh is not None:
-                        src_u8, tgt_u8 = shard_batch(self.mesh, src_u8, tgt_u8)
-                    self.state, m = self.step_fn(self.state, src_u8, tgt_u8,
+                        threads=cfg.threads, local_rows=self._local_rows):
+                    nxt = self._put_batch(src_u8, tgt_u8)
+                    if staged is not None:
+                        self.state, m = self.step_fn(self.state, *staged,
+                                                     self.train_key,
+                                                     apply_gp=apply_gp)
+                        metrics.append(m)
+                    staged = nxt
+                if staged is not None:
+                    self.state, m = self.step_fn(self.state, *staged,
                                                  self.train_key,
                                                  apply_gp=apply_gp)
                     metrics.append(m)
@@ -182,9 +224,13 @@ class Trainer:
             self.gp_loss.append(means["loss_gp"])
             self.per_loss.append(means["loss_per"])
 
-            if progress:
+            if progress and self.is_main_process:
                 dt = time.time() - t0
-                lr_now = float(self._schedule(i * self.steps_per_epoch))
+                # The reference prints the POST-scheduler.step() lr
+                # (/root/reference/train.py:172-178), i.e. next epoch's value;
+                # step_offset keeps the print correct on --continue_training.
+                lr_now = float(self._schedule(
+                    self.step_offset + (i + 1) * self.steps_per_epoch))
                 print(f"==training epoch {epoch}")
                 print(f"\tloss functions => D:{means['loss_d']:.5f}, "
                       f"G:{means['loss_g']:.5f}, L1:{means['loss_l1']:.5f}, "
@@ -196,22 +242,46 @@ class Trainer:
 
             if (cfg.checkpoint_interval != -1
                     and epoch % cfg.checkpoint_interval == 0):
-                # Async: disk IO overlaps the next epoch's device work.
-                state = jax.device_get(self.state)
-                self._async_ckpt.save(
-                    os.path.join(cfg.work_root, "checkpoints",
-                                 cfg.folder_save, f"model_{epoch}.pth"),
-                    gen=state.g_params, disc=state.d_params,
-                    opt_g=state.g_opt_state, opt_d=state.d_opt_state,
-                    step=int(state.step))
+                # All processes participate in the (possible) gather
+                # collective; only process 0 touches disk. Async: the disk IO
+                # overlaps the next epoch's device work.
+                state = self._host_state()
+                if self.is_main_process:
+                    self._async_ckpt.save(
+                        os.path.join(cfg.work_root, "checkpoints",
+                                     cfg.folder_save, f"model_{epoch}.pth"),
+                        gen=state.g_params, disc=state.d_params,
+                        opt_g=state.g_opt_state, opt_d=state.d_opt_state,
+                        step=int(state.step))
         self._async_ckpt.wait()
+
+    def _put_batch(self, src_u8, tgt_u8):
+        """Asynchronously stage one host batch onto the device/mesh."""
+        if self.mesh is not None:
+            return shard_batch(self.mesh, src_u8, tgt_u8)
+        return jax.device_put(src_u8), jax.device_put(tgt_u8)
+
+    def _host_state(self):
+        """Fetch the full TrainState to host memory. When tensor-parallel
+        shards span processes, an all-gather (jitted identity with replicated
+        out-sharding) makes every leaf addressable first — device_get of a
+        remote shard is impossible. Collective: every process must call."""
+        if (self.mesh is not None and jax.process_count() > 1
+                and self.mesh.shape.get("model", 1) > 1):
+            from tactile_gan_tpu.parallel.mesh import replicate_sharding
+            gather = jax.jit(lambda x: x,
+                             out_shardings=replicate_sharding(self.mesh))
+            return jax.device_get(gather(self.state))
+        return jax.device_get(self.state)
 
     # ------------------------------------------------------------------
     # Artifacts (names match /root/reference/train.py:197-227).
     # ------------------------------------------------------------------
 
     def save_model(self, modelpath: str) -> None:
-        state = jax.device_get(self.state)
+        state = self._host_state()  # collective — call from every process
+        if not self.is_main_process:
+            return
         save_checkpoint(modelpath, gen=state.g_params, disc=state.d_params,
                         opt_g=state.g_opt_state, opt_d=state.d_opt_state,
                         step=int(state.step))
@@ -224,17 +294,24 @@ class Trainer:
         np.save(os.path.join(path, "gploss"), np.asarray(self.gp_loss))
 
     def save_hyper_params(self, folderpath: str) -> None:
-        self.cfg.save_params(folderpath)
+        extra = {}
+        if self.cfg.lambda_per != 0 and self.cfg.version == 1:
+            # Record whether v1 trained against real or random VGG features
+            # (test-time readers ignore unknown keys, reference included).
+            extra["vgg_random_fallback"] = self.vgg_random_fallback
+        self.cfg.save_params(folderpath, extra=extra)
 
     def run_and_save(self, progress: bool = True) -> str:
         """Full train + artifact dump, like the reference __main__
         (/root/reference/train.py:259-277). Returns the model dir."""
         cfg = self.cfg
-        mkdir(os.path.join(cfg.work_root, "checkpoints", cfg.folder_save))
         save_path = cfg.models_dir()
-        mkdir(save_path)
+        if self.is_main_process:
+            mkdir(os.path.join(cfg.work_root, "checkpoints", cfg.folder_save))
+            mkdir(save_path)
         self.train(progress=progress)
         self.save_model(os.path.join(save_path, "final_model.pth"))
-        self.save_arrays(save_path)
-        self.save_hyper_params(save_path)
+        if self.is_main_process:
+            self.save_arrays(save_path)
+            self.save_hyper_params(save_path)
         return save_path

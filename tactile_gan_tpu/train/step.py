@@ -73,7 +73,16 @@ def build_train_step(
     def _step(state: TrainState, src_u8, tgt_u8, key, apply_gp: bool):
         k_step = rng_streams.per_step(key, state.step)
         k_aug = rng_streams.stream(k_step, rng_streams.STREAM_AUGMENT)
-        k_label = rng_streams.stream(k_step, rng_streams.STREAM_LABEL_SMOOTHING)
+        if cfg.legacy_label_cache:
+            # Reference quirk mode: one noise draw reused for every step of
+            # the run (generators.py:52-63) — the key ignores the step
+            # counter, so the same clamp(N(1,.02)) tensor reappears each
+            # batch, shared by the D-real and G targets like the reference's
+            # cached expand_as tensor.
+            k_label = rng_streams.stream(key, rng_streams.STREAM_LABEL_SMOOTHING)
+        else:
+            k_label = rng_streams.stream(k_step,
+                                         rng_streams.STREAM_LABEL_SMOOTHING)
         k_gp = rng_streams.stream(k_step, rng_streams.STREAM_GP_ALPHA)
 
         real_a, real_b = preprocess_batch(src_u8, tgt_u8, k_aug, augment=augment)

@@ -232,3 +232,116 @@ def test_l1_loss():
     a = jnp.ones((2, 2)) * 3
     b = jnp.ones((2, 2))
     assert float(l1_loss(a, b)) == 2.0
+
+
+# ---------------------------------------------------------------------------
+# VGG .npz loading + block parity vs a torch stack built with the reference's
+# slicing (/root/reference/util.py:104-107): proves the OIHW->HWIO transpose
+# and the [:4],[4:9],[9:16],[16:23] block boundaries with synthetic weights.
+# ---------------------------------------------------------------------------
+
+# torchvision VGG16 `features` conv layout: (index, in_ch, out_ch); indices
+# 4/9/16 are MaxPool2d(2), every other non-conv index is ReLU.
+_VGG_CONVS = ((0, 3, 64), (2, 64, 64), (5, 64, 128), (7, 128, 128),
+              (10, 128, 256), (12, 256, 256), (14, 256, 256),
+              (17, 256, 512), (19, 512, 512), (21, 512, 512))
+
+
+def _synth_vgg_npz(tmp_path):
+    """A torchvision-state-dict-format .npz with deterministic weights."""
+    rng = np.random.default_rng(7)
+    arrs = {}
+    for idx, cin, cout in _VGG_CONVS:
+        arrs[f"features.{idx}.weight"] = rng.normal(
+            scale=0.05, size=(cout, cin, 3, 3)).astype(np.float32)
+        arrs[f"features.{idx}.bias"] = rng.normal(
+            scale=0.05, size=(cout,)).astype(np.float32)
+    path = tmp_path / "vgg16_synth.npz"
+    np.savez(path, **arrs)
+    return str(path), arrs
+
+
+def _torch_vgg_blocks(arrs):
+    """The nn.Sequential the reference slices out of torchvision VGG16."""
+    import torch.nn as nn
+    conv_specs = {idx: (cin, cout) for idx, cin, cout in _VGG_CONVS}
+    layers = []
+    for i in range(23):
+        if i in conv_specs:
+            cin, cout = conv_specs[i]
+            conv = nn.Conv2d(cin, cout, 3, padding=1)
+            with torch.no_grad():
+                conv.weight.copy_(torch.tensor(arrs[f"features.{i}.weight"]))
+                conv.bias.copy_(torch.tensor(arrs[f"features.{i}.bias"]))
+            layers.append(conv)
+        elif i in (4, 9, 16):
+            layers.append(nn.MaxPool2d(2))
+        else:
+            layers.append(nn.ReLU(inplace=False))
+    seq = nn.Sequential(*layers).eval()
+    return [seq[:4], seq[4:9], seq[9:16], seq[16:23]]
+
+
+def test_vgg_npz_load_and_block_parity(tmp_path):
+    path, arrs = _synth_vgg_npz(tmp_path)
+    params = load_vgg_features(path)
+    x = RNG.normal(size=(2, 32, 32, 3)).astype(np.float32)
+
+    ours = vgg_features_apply(params, jnp.asarray(x))
+
+    t = torch.tensor(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        theirs = []
+        for block in _torch_vgg_blocks(arrs):
+            t = block(t)
+            theirs.append(t.numpy().transpose(0, 2, 3, 1))
+
+    assert len(ours) == 4
+    for got, want in zip(ours, theirs):
+        assert got.shape == want.shape
+        # atol scaled to the block's activation magnitude: near-zero ReLU
+        # outputs differ by float-reassociation noise between XLA and torch.
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3,
+                                   atol=1e-4 * float(np.abs(want).max()))
+
+
+def test_vgg_perceptual_loss_golden_vs_reference_math(tmp_path):
+    """Full v1 loss (normalize -> bilinear 224 -> 4-block weighted L1) vs the
+    reference's VGGPerceptualLoss.forward math (/root/reference/util.py:119-144)
+    executed with torch on the same synthetic weights."""
+    path, arrs = _synth_vgg_npz(tmp_path)
+    params = load_vgg_features(path)
+    w_per = (0.0, 0.1, 0.3, 0.6)
+
+    rng = np.random.default_rng(3)
+    # The reference feeds [-1,1] source-domain fakes and [0,1] targets.
+    fake = rng.uniform(-1, 1, size=(1, 64, 64, 3)).astype(np.float32)
+    real = rng.uniform(0, 1, size=(1, 64, 64, 3)).astype(np.float32)
+
+    got = float(vgg_perceptual_loss(vgg_features_apply, params,
+                                    jnp.asarray(real), jnp.asarray(fake),
+                                    weights=w_per, resize=True))
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    x = (torch.tensor(real.transpose(0, 3, 1, 2)) - mean) / std
+    y = (torch.tensor(fake.transpose(0, 3, 1, 2)) - mean) / std
+    x = tF.interpolate(x, size=(224, 224), mode="bilinear", align_corners=False)
+    y = tF.interpolate(y, size=(224, 224), mode="bilinear", align_corners=False)
+    want = 0.0
+    with torch.no_grad():
+        for i, block in enumerate(_torch_vgg_blocks(arrs)):
+            x, y = block(x), block(y)
+            want += float(tF.l1_loss(x, y)) * w_per[i]
+
+    np.testing.assert_allclose(got, want, rtol=5e-4)
+
+
+def test_vgg_weights_env_var_resolution(tmp_path, monkeypatch):
+    from tactile_gan_tpu.models.vgg import ENV_WEIGHTS, resolve_weights_path
+    path, _ = _synth_vgg_npz(tmp_path)
+    assert resolve_weights_path("") == ""
+    assert resolve_weights_path(path) == path
+    assert resolve_weights_path("/nonexistent.npz") == ""
+    monkeypatch.setenv(ENV_WEIGHTS, path)
+    assert resolve_weights_path("") == path

@@ -30,10 +30,13 @@ def _nhwc(x):
 @pytest.mark.parametrize("name", ["UNet", "UNet++", "BCDUNet", "unet", "bcdUNet"])
 def test_factory_and_shapes(name):
     model = create_generator(name, output_dim=3, nf=8, activation=True)
-    x = jnp.zeros((1, 128, 128, 3))
+    # UNet requires >=256px (7 stride-2 stages, matching the reference's
+    # effective minimum); the others accept smaller inputs.
+    size = 256 if name.lower() == "unet" else 128
+    x = jnp.zeros((1, size, size, 3))
     params = model.init(jax.random.key(0), x)
     y = model.apply(params, x)
-    assert y.shape == (1, 128, 128, 3)
+    assert y.shape == (1, size, size, 3)
     assert np.asarray(jnp.abs(y)).max() <= 1.0  # tanh head
 
 
@@ -61,7 +64,7 @@ def test_init_statistics():
     """Conv kernels ~ N(0, 0.02), norms at (1, 0), biases zero — matching
     /root/reference/util.py:23-34 + torch InstanceNorm defaults."""
     model = UNet(output_dim=3, nf=16)
-    params = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))["params"]
+    params = model.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)))["params"]
     kernels = [np.asarray(v) for v in jax.tree.leaves(params) if v.ndim == 4]
     big = np.concatenate([k.ravel() for k in kernels])
     assert abs(big.std() - 0.02) < 0.002
@@ -138,3 +141,52 @@ def test_patch_discriminator_forward_parity(reference_available, sigmoid):
     assert len(feats) == len(ref_feats) == 4
     for ours_f, theirs_f in zip(feats, ref_feats):
         np.testing.assert_allclose(np.asarray(ours_f), _nhwc(theirs_f), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth UNet++ variant (--space_to_depth, TPU perf flag).
+# ---------------------------------------------------------------------------
+
+def test_space_to_depth_roundtrip_and_pool_semantics():
+    from tactile_gan_tpu.ops.pool import avg_pool2
+    from tactile_gan_tpu.ops.resize import depth_to_space2, space_to_depth2
+
+    x = jnp.asarray(RNG.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    folded = space_to_depth2(x)
+    assert folded.shape == (2, 4, 4, 24)
+    np.testing.assert_array_equal(np.asarray(depth_to_space2(folded)),
+                                  np.asarray(x))
+    # The model's folded "pool_row0" (mean over the four 2x2-position channel
+    # groups) must equal a true logical avg_pool2.
+    gm = folded.reshape(2, 4, 4, 4, 6).mean(axis=3)
+    np.testing.assert_allclose(np.asarray(gm), np.asarray(avg_pool2(x)),
+                               rtol=1e-6)
+
+
+def test_unetpp_space_to_depth_variant_forward():
+    from tactile_gan_tpu.models.unet_plusplus import UNetPlusPlus
+
+    model = UNetPlusPlus(output_dim=3, nf=8, activation=True,
+                         space_to_depth=True)
+    x = jnp.asarray(RNG.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(y)).all()
+    # Row-0 nodes live in folded space at width 2*nf.
+    k = params["params"]["node0_0"]["a"]["conv"]["kernel"]
+    assert k.shape == (3, 3, 12, 16)  # s2d input: 4*3 channels; width 2*nf
+
+    # Gradients flow end to end through fold/unfold.
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+def test_space_to_depth_rejected_outside_unetpp():
+    with pytest.raises(ValueError, match="only supported for UNet"):
+        create_generator("UNet", space_to_depth=True)
+    with pytest.raises(ValueError, match="even nf"):
+        from tactile_gan_tpu.models.unet_plusplus import UNetPlusPlus
+        UNetPlusPlus(output_dim=3, nf=5, space_to_depth=True).init(
+            jax.random.key(0), jnp.zeros((1, 32, 32, 3)))

@@ -52,15 +52,33 @@ def test_fused_kernel_bf16_io():
                                np.asarray(want), atol=0.1)
 
 
-def test_fused_kernel_fallback_non_pow2():
+def test_fused_kernel_fallback_non_pow2(caplog):
     """Discriminator shapes (63x63 etc.) are not power-of-two; must route to
-    the XLA path transparently."""
+    the XLA path transparently — and say so once per process."""
+    import logging
+
+    import tactile_gan_tpu.ops.pallas.instance_norm as in_mod
+    in_mod._fallback_logged = False  # earlier tests may have tripped it
+
     x = jnp.array(RNG.normal(size=(1, 63, 63, 8)).astype(np.float32))
     scale = jnp.ones((8,), jnp.float32)
     offset = jnp.zeros((8,), jnp.float32)
-    got = instance_norm_act(x, scale, offset, act="leaky_relu")
+    big = jnp.array(RNG.normal(size=(1, 144, 144, 8)).astype(np.float32))
+    with caplog.at_level(logging.WARNING,
+                         logger="tactile_gan_tpu.ops.pallas.instance_norm"):
+        got = instance_norm_act(x, scale, offset, act="leaky_relu")
+        # Discriminator-scale non-pow2 shapes are silent by design...
+        assert not caplog.records
+        # ...generator-scale ones warn, once per process.
+        instance_norm_act(big, scale, offset, act="relu")
+        again = instance_norm_act(big, scale, offset, act="relu")
     want = _ref(x, scale, offset, "leaky_relu")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(again), np.asarray(_ref(big, scale, offset, "relu")),
+        atol=2e-5)
+    hits = [r for r in caplog.records if "not a power of two" in r.message]
+    assert len(hits) == 1  # logged once, not per call
 
 
 def test_fused_kernel_gradients_match_xla():

@@ -1,6 +1,9 @@
 """Data-parallel sharding tests on the virtual 8-device CPU mesh
 (SURVEY.md section 4: "distributed without a cluster")."""
 
+import json
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -131,3 +134,63 @@ def test_dp_params_stay_replicated():
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_two_process_distributed_train(tmp_path):
+    """Real multi-host semantics on one machine: 2 subprocess "hosts" x 2
+    virtual CPU devices each, jax.distributed over a localhost coordinator,
+    the full Trainer end-to-end. Asserts both processes agree on the global
+    (replicated) losses and that only process 0 wrote artifacts."""
+    import socket
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    # Dataset shared by both workers.
+    rng = np.random.default_rng(0)
+    sdir = tmp_path / "data" / "train" / "source"
+    tdir = tmp_path / "data" / "train" / "tactile"
+    sdir.mkdir(parents=True)
+    tdir.mkdir(parents=True)
+    for i in range(8):
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(sdir / f"s_{i:04d}.png")
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(tdir / f"t_{i:04d}.tiff")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo_root, "tests", "multihost_worker.py")
+    env = dict(os.environ, PYTHONPATH=repo_root)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), "2", str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=repo_root, env=env)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+
+    results = [json.loads([ln for ln in out.splitlines()
+                           if ln.startswith("{")][-1]) for out, _ in outs]
+    by_pid = {r["pid"]: r for r in results}
+    assert set(by_pid) == {0, 1}
+    for k in ("gen_loss", "disc_loss", "l1_loss"):
+        assert len(by_pid[0][k]) == 2  # two epochs
+        np.testing.assert_allclose(by_pid[0][k], by_pid[1][k], rtol=1e-6,
+                                   err_msg=k)
+
+    # Artifacts written exactly once (by process 0).
+    mdir = tmp_path / "models" / "mh"
+    assert (mdir / "final_model.pth").exists()
+    assert (mdir / "params.txt").exists()
+    for name in ("gen", "disc", "l1", "per", "gp"):
+        assert (mdir / f"{name}loss.npy").exists()
+    assert (tmp_path / "checkpoints" / "mh" / "model_1.pth").exists()
+    assert (tmp_path / "checkpoints" / "mh" / "model_2.pth").exists()

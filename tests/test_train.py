@@ -217,9 +217,14 @@ def test_unet_rejects_small_inputs():
     import jax
     import jax.numpy as jnp
     from tactile_gan_tpu.models import UNet
-    with pytest.raises(ValueError, match="at least 128x128"):
+    with pytest.raises(ValueError, match="at least 256x256"):
         UNet(output_dim=3, nf=4).init(jax.random.key(0),
                                       jnp.zeros((1, 64, 64, 3)))
+    # 128px silently "works" arithmetically but hits a degenerate 1x1
+    # instance-norm bottleneck the torch reference rejects — we reject too.
+    with pytest.raises(ValueError, match="at least 256x256"):
+        UNet(output_dim=3, nf=4).init(jax.random.key(0),
+                                      jnp.zeros((1, 128, 128, 3)))
 
 
 def test_checkpoint_roundtrip_and_resume(tmp_path):
