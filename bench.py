@@ -28,7 +28,7 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 CACHE_KEY = f"torch_cpu_unetpp_nf{NF}_b{BATCH}_{SIZE}_ls_gp"
 
 
-def _build_step(batch, use_pallas):
+def _build_step(batch, use_pallas, split_concat=True, space_to_depth=False):
     import jax
     import jax.numpy as jnp
 
@@ -43,9 +43,12 @@ def _build_step(batch, use_pallas):
     cfg = TrainConfig(gen="UNet++", nf=NF, batch_size=batch, image_size=SIZE,
                       loss="ls", lambda_per=0.0, lambda_gp=0.01,
                       compute_dtype="bfloat16", no_aug=False,
-                      use_pallas=use_pallas)
+                      use_pallas=use_pallas, split_concat=split_concat,
+                      space_to_depth=space_to_depth)
     gen = create_generator(cfg.gen, cfg.output_dim, cfg.nf, cfg.activation,
-                           compute_dtype=jnp.bfloat16, use_pallas=use_pallas)
+                           compute_dtype=jnp.bfloat16, use_pallas=use_pallas,
+                           split_concat=split_concat,
+                           space_to_depth=space_to_depth)
     disc = create_discriminator("patch", cfg.nf, cfg.activation,
                                 compute_dtype=jnp.bfloat16,
                                 use_pallas=use_pallas)

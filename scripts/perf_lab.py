@@ -366,6 +366,144 @@ def exp_convs3():
     print(f"aug gather chained: {(t_l - t_s)/30*1e3:.3f} ms/batch", flush=True)
 
 
+def exp_r2():
+    """Round-2 step variants. Each argv spec is b<batch>_<pallas|xla>_<split|concat>,
+    e.g. `perf_lab.py r2 b4_pallas_split b16_pallas_split b16_xla_split`."""
+    from bench import _build_step, _time_step
+
+    specs = sys.argv[2:] or ["b4_pallas_split", "b16_pallas_split",
+                             "b16_xla_split"]
+    results = {}
+    for spec in specs:
+        b_s, kern, cat = spec.split("_", 2)
+        batch = int(b_s[1:])
+        _, _, st, step = _build_step(batch, kern == "pallas",
+                                     split_concat=cat.startswith("split"),
+                                     space_to_depth=cat.endswith("s2d"))
+        ips, _ = _time_step(step, st, batch, 12)
+        results[spec] = round(ips, 2)
+        print(f"{spec}: {ips:.2f} img/s", flush=True)
+    print(results)
+
+
+def exp_row0():
+    """Exact-rewrite candidates for the 16%-util row-0 convs (cout=64):
+    does padding cout (or cin) to the 128-lane width beat XLA's native
+    handling? All variants are numerically exact (pad with zeros, slice)."""
+    import jax
+    import jax.numpy as jnp
+    from tactile_gan_tpu.ops.conv import conv2d
+
+    rng = np.random.default_rng(0)
+
+    def chained_ms(op, x, *rest, iters=40):
+        @jax.jit
+        def run(x, n):
+            def body(i, c):
+                scale = 1.0 + 1e-6 * i.astype(jnp.float32)
+                o = op(x * scale, *rest)
+                return c + jnp.sum(o.astype(jnp.float32))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        float(run(x, 2))
+        t0 = time.perf_counter(); float(run(x, 10 + iters))
+        t_long = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(run(x, 10))
+        t_short = time.perf_counter() - t0
+        return max(0.0, (t_long - t_short) / iters * 1e3)
+
+    x = jnp.asarray(rng.normal(size=(4, 256, 256, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 64, 64)).astype(np.float32) * .02)
+    xb = x.astype(jnp.bfloat16)
+    true_flops = 2 * 4 * 256 * 256 * 9 * 64 * 64
+
+    def report(name, op, *args):
+        ms = chained_ms(op, *args)
+        print(f"{name}: {ms:.3f} ms ({true_flops/ms*1e3/1e12:.1f} TFLOP/s "
+              f"on true FLOPs)", flush=True)
+
+    report("baseline 64->64 f32 io/bf16 mxu",
+           lambda a, b: conv2d(a, b, padding=1, compute_dtype=jnp.bfloat16),
+           x, w)
+    w128 = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 64)))
+    report("cout-padded 64->128, slice",
+           lambda a, b: conv2d(a, b, padding=1,
+                               compute_dtype=jnp.bfloat16)[..., :64],
+           x, w128)
+    wi = jnp.pad(w, ((0, 0), (0, 0), (0, 64), (0, 0)))
+    xi = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 64)))
+    report("cin+cout padded 128->128, slice",
+           lambda a, b: conv2d(a, b, padding=1,
+                               compute_dtype=jnp.bfloat16)[..., :64],
+           xi, jnp.pad(w128, ((0, 0), (0, 0), (0, 64), (0, 0))))
+    report("bf16 io 64->64",
+           lambda a, b: conv2d(a, b, padding=1, compute_dtype=jnp.bfloat16),
+           xb, w.astype(jnp.bfloat16))
+    report("f32 mxu 64->64",
+           lambda a, b: conv2d(a, b, padding=1, compute_dtype=jnp.float32),
+           x, w)
+    # fwd+bwd of baseline vs cout-padded (what the train step actually pays)
+    for name, f, a, b in (
+            ("fwd+bwd baseline", lambda p, q: conv2d(
+                p, q, padding=1, compute_dtype=jnp.bfloat16), x, w),
+            ("fwd+bwd cout-padded", lambda p, q: conv2d(
+                p, q, padding=1, compute_dtype=jnp.bfloat16)[..., :64],
+             x, w128)):
+        g = jax.jit(jax.grad(lambda p, q: jnp.sum(f(p, q) ** 2),
+                             argnums=(0, 1)))
+        ms = chained_ms(lambda p, q=b: g(p, q)[0], a)
+        print(f"{name}: {ms:.3f} ms", flush=True)
+
+
+def exp_ablate():
+    """Factor the full step: toggle GP / aug off and time, at a given batch.
+    argv: [batch [pallas|xla]] (default 4 pallas)."""
+    import jax.numpy as jnp
+    from tactile_gan_tpu.core.config import TrainConfig
+    from tactile_gan_tpu.models.factory import (
+        create_discriminator, create_generator,
+    )
+    from tactile_gan_tpu.train.schedule import multistep_lr
+    from tactile_gan_tpu.train.state import create_train_state, make_optimizer
+    from tactile_gan_tpu.train.step import build_train_step
+    from bench import _time_step, NF, SIZE
+    import jax
+
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    pallas = (sys.argv[3] if len(sys.argv) > 3 else "pallas") == "pallas"
+
+    def build(no_aug, gp):
+        cfg = TrainConfig(gen="UNet++", nf=NF, batch_size=batch,
+                          image_size=SIZE, loss="ls", lambda_per=0.0,
+                          lambda_gp=0.01 if gp else 0.0,
+                          compute_dtype="bfloat16", no_aug=no_aug,
+                          use_pallas=pallas)
+        gen = create_generator(cfg.gen, cfg.output_dim, cfg.nf,
+                               cfg.activation, compute_dtype=jnp.bfloat16,
+                               use_pallas=pallas)
+        disc = create_discriminator("patch", cfg.nf, cfg.activation,
+                                    compute_dtype=jnp.bfloat16,
+                                    use_pallas=pallas)
+        sched = multistep_lr(cfg.lr, cfg.epoch_constant, cfg.total_epochs, 100)
+        g_tx, d_tx = make_optimizer(sched, cfg.beta1), make_optimizer(sched, cfg.beta1)
+        ex = jnp.zeros((batch, SIZE, SIZE, 3))
+        state = create_train_state(gen, disc, ex, ex, jax.random.key(0),
+                                   g_tx, d_tx)
+        return state, build_train_step(cfg, gen, disc, g_tx, d_tx), gp
+
+    for name, no_aug, gp in (("full", False, True), ("no_gp", False, False),
+                             ("no_aug", True, True),
+                             ("no_gp_no_aug", True, False)):
+        state, step, gp_on = build(no_aug, gp)
+        ips, _ = _time_step(
+            lambda s, a, b, k, apply_gp=True: step(s, a, b, k, apply_gp=gp_on),
+            state, batch, 12)
+        print(f"b{batch} {'pallas' if pallas else 'xla'} {name}: "
+              f"{ips:.2f} img/s ({batch/ips*1e3:.1f} ms/step)", flush=True)
+
+
 if __name__ == "__main__":
     exp = sys.argv[1] if len(sys.argv) > 1 else "convs"
-    {"convs": exp_convs, "convs2": exp_convs2, "convs3": exp_convs3, "aug": exp_aug, "step": exp_step}[exp]()
+    {"convs": exp_convs, "convs2": exp_convs2, "convs3": exp_convs3,
+     "aug": exp_aug, "step": exp_step, "r2": exp_r2,
+     "ablate": exp_ablate, "row0": exp_row0}[exp]()

@@ -81,6 +81,12 @@ class TrainConfig:
     # half the spatial iterations, double the MXU lane occupancy. Checkpoints
     # are variant-specific. Measurements in BASELINE.md.
     space_to_depth: bool = False
+    # Concat-free nested-node convs (UNet++): each node's first conv reads its
+    # input list directly (conv of a concat == sum of per-piece convs with the
+    # same kernel slices — numerically the same network, no wide concat
+    # tensors in HBM). On by default; checkpoints are interchangeable with the
+    # concatenated form either way.
+    split_concat: bool = True
     profile_dir: str = ""  # dump a jax.profiler (xplane) trace of epoch 1 here
     debug_nans: bool = False  # jax_debug_nans + per-epoch non-finite guard
 
@@ -111,9 +117,11 @@ class TrainConfig:
 
     def effective_use_pallas(self) -> bool:
         """Pallas kernels only pay off (and only Mosaic-compile) on TPU, and
-        only at small per-chip batches — measured on v5e at 256^2/nf=64:
-        batch 4: 34.9 (pallas) vs 25.2 (XLA) img/s; batch 16: 51.1 vs 67.1
-        (the kernel's grid serializes over the batch dim)."""
+        only at small per-chip batches — measured on v5e at 256^2/nf=64
+        (round 2, lane-folded kernel + split_concat): batch 4: 35.7 (pallas)
+        vs 32.6 (XLA) img/s; batch 16: 50.9 vs 67.8 — the custom-VJP step's
+        remat backward stops paying once the batch amortizes XLA's saved
+        activations."""
         import jax
         return (self.use_pallas and jax.default_backend() == "tpu"
                 and self.batch_size <= 8)
@@ -244,6 +252,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="UNet++ perf variant: run the full-resolution row "
                         "2x2-folded (changes the network; checkpoints are "
                         "variant-specific)")
+    p.add_argument("--split_concat", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="UNet++ concat-free nested-node convs (same network, "
+                        "same checkpoint format; skips materializing the "
+                        "node concats in HBM)")
     p.add_argument("--legacy_label_cache", default=False, action="store_true",
                    help="reference-exact label smoothing: sample the real-"
                         "target noise once and reuse it for every batch "

@@ -49,7 +49,8 @@ def load_model(model_path: str, cfg: TrainConfig,
                            compute_dtype=jnp.dtype(cfg.compute_dtype),
                            use_pallas=False,
                            space_to_depth=getattr(cfg, "space_to_depth",
-                                                  False))
+                                                  False),
+                           split_concat=getattr(cfg, "split_concat", True))
     example = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.input_dim))
     params = gen.init(jax.random.key(0), example)
     ckpt = load_checkpoint(model_path)

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tactile_gan_tpu.ops.conv import conv2d, conv2d_transpose
+from tactile_gan_tpu.ops.conv import conv2d, conv2d_multi, conv2d_transpose
 from tactile_gan_tpu.ops.norm import instance_norm
 from tactile_gan_tpu.ops import pallas as pallas_ops
 
@@ -62,7 +62,11 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        # A list/tuple input means "conv of the channel-concat of these",
+        # computed concat-free (same parameter shape — checkpoints are
+        # interchangeable with the concatenated form; see ops.conv2d_multi).
+        parts = x if isinstance(x, (list, tuple)) else None
+        cin = sum(t.shape[-1] for t in parts) if parts else x.shape[-1]
         k = self.param(
             "kernel", conv_kernel_init,
             (self.kernel_size, self.kernel_size, cin, self.features), jnp.float32,
@@ -71,6 +75,11 @@ class Conv(nn.Module):
             self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             if self.use_bias else None
         )
+        if parts:
+            return conv2d_multi(
+                parts, k, stride=self.stride, padding=self.padding, bias=b,
+                compute_dtype=self.compute_dtype,
+            )
         return conv2d(
             x, k, stride=self.stride, padding=self.padding, bias=b,
             compute_dtype=self.compute_dtype,

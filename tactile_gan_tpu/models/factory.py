@@ -26,6 +26,7 @@ def create_generator(
     compute_dtype: jnp.dtype = jnp.float32,
     use_pallas: bool = False,
     space_to_depth: bool = False,
+    split_concat: bool = True,
 ) -> nn.Module:
     kw = dict(output_dim=output_dim, nf=nf, activation=activation,
               compute_dtype=compute_dtype, use_pallas=use_pallas)
@@ -35,7 +36,8 @@ def create_generator(
     if key == "unet":
         return UNet(**kw)
     if key == "unet++":
-        return UNetPlusPlus(space_to_depth=space_to_depth, **kw)
+        return UNetPlusPlus(space_to_depth=space_to_depth,
+                            split_concat=split_concat, **kw)
     if key == "bcdunet":
         return BCDUNet(**kw)
     raise NameError(f"{name} not a valid generator")

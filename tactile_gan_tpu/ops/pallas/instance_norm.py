@@ -12,6 +12,15 @@ The grid is (N, 2*P) where P = number of H*W tiles: the first P steps of the
 inner loop accumulate statistics into VMEM scratch, the last P steps write the
 normalized output. Statistics accumulate in float32 regardless of input dtype.
 
+Narrow channels (C < 128, C | 128) are LANE-FOLDED: the row-major view
+(H*W, C) is reshaped for free to (H*W/f, f*C) with f = 128/C, so f spatial
+positions ride the lane dimension side by side and every lane does useful
+work (an unfolded C=64 block is physically padded to 128 lanes — half the
+sweep wasted; C=16 wastes 7/8). Per-channel statistics are recovered from the
+128 folded lane accumulators with one 128x128 masked matmul (lane j sums all
+lanes i with i = j (mod C)), which simultaneously broadcasts each channel's
+total back to all f segments for the normalize pass.
+
 The op has a custom VJP whose backward re-derives gradients from the unfused
 XLA reference implementation (rematerialization: nothing but the inputs is
 saved).
@@ -56,7 +65,7 @@ def _pick_tile(hw: int, c: int, itemsize: int) -> int:
 
 
 def _kernel(x_ref, scale_ref, offset_ref, o_ref, acc_ref, stat_ref,
-            *, num_p, hw, act, slope):
+            *, num_p, hw, act, slope, fold_c):
     p = pl.program_id(1)
 
     @pl.when(p == 0)
@@ -71,8 +80,22 @@ def _kernel(x_ref, scale_ref, offset_ref, o_ref, acc_ref, stat_ref,
 
     @pl.when(p == num_p)
     def _():
-        mean = acc_ref[0, :] / hw
-        var = acc_ref[1, :] / hw - mean * mean
+        sums = acc_ref[0:2, :]
+        if fold_c is not None:
+            # Lane-folded layout: lane j of the accumulator holds a partial
+            # sum of channel j % fold_c. One masked 128x128 matmul both
+            # reduces the f segments per channel and broadcasts the channel
+            # total back to every segment's lane (fold_c is a power of two,
+            # so the mod is a bitwise and).
+            lanes = sums.shape[-1]
+            row = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
+            m = fold_c - 1
+            fold = ((row & m) == (col & m)).astype(jnp.float32)
+            sums = jax.lax.dot(sums, fold,
+                               preferred_element_type=jnp.float32)
+        mean = sums[0, :] / hw
+        var = sums[1, :] / hw - mean * mean
         stat_ref[0, :] = mean
         stat_ref[1, :] = jax.lax.rsqrt(var + _EPS)
 
@@ -91,30 +114,43 @@ def _kernel(x_ref, scale_ref, offset_ref, o_ref, acc_ref, stat_ref,
 def _forward(x, scale, offset, act, slope, interpret):
     n, h, w, c = x.shape
     hw = h * w
-    t = _pick_tile(hw, c, jnp.dtype(x.dtype).itemsize)
-    if hw % t != 0:  # non power-of-two spatial extent: use the XLA path
-        raise ValueError(f"unsupported spatial extent {h}x{w}")
-    num_p = hw // t
 
-    xf = x.reshape(n, hw, c)
-    scale2 = scale.reshape(1, c).astype(jnp.float32)
-    offset2 = offset.reshape(1, c).astype(jnp.float32)
+    # Lane fold for narrow channels: free reshape (hw, c) -> (hw/f, f*c) puts
+    # f spatial positions in the lanes so none of the 128 are padding.
+    fold_c = None
+    rows, width = hw, c
+    if c < 128 and 128 % c == 0 and hw % (128 // c) == 0:
+        f = 128 // c
+        fold_c, rows, width = c, hw // f, 128
+
+    t = _pick_tile(rows, width, jnp.dtype(x.dtype).itemsize)
+    if rows % t != 0:  # non power-of-two spatial extent: use the XLA path
+        raise ValueError(f"unsupported spatial extent {h}x{w}")
+    num_p = rows // t
+
+    xf = x.reshape(n, rows, width)
+    reps = width // c
+    scale2 = jnp.tile(scale.astype(jnp.float32), reps).reshape(1, width)
+    offset2 = jnp.tile(offset.astype(jnp.float32), reps).reshape(1, width)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_p=num_p, hw=float(hw), act=act, slope=slope),
+        functools.partial(_kernel, num_p=num_p, hw=float(hw), act=act,
+                          slope=slope, fold_c=fold_c),
         grid=(n, 2 * num_p),
         in_specs=[
-            pl.BlockSpec((1, t, c), lambda i, p: (i, p % num_p, 0),
+            pl.BlockSpec((1, t, width), lambda i, p: (i, p % num_p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i, p: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, c), lambda i, p: (i, p % num_p, 0),
+        out_specs=pl.BlockSpec((1, t, width), lambda i, p: (i, p % num_p, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, rows, width), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((8, c), jnp.float32),  # rows 0/1: sum, sum of squares
-            pltpu.VMEM((8, c), jnp.float32),  # rows 0/1: mean, rsqrt(var+eps)
+            pltpu.VMEM((8, width), jnp.float32),  # rows 0/1: sum, sum of sq
+            pltpu.VMEM((8, width), jnp.float32),  # rows 0/1: mean, rsqrt
         ],
         interpret=interpret,
     )(xf, scale2, offset2)

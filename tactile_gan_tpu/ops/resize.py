@@ -9,8 +9,27 @@
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
+
+
+class Up2(NamedTuple):
+    """Lazy nearest-2x upsample marker: carries the coarse tensor plus the
+    logical (upsampled) shape. ``ops.conv.conv2d_multi`` consumes it directly
+    — a 3x3/s1/p1 conv on a nearest-2x upsample folds into four 2x2 convs on
+    the coarse grid (2.25x fewer FLOPs, no upsampled tensor in HBM)."""
+
+    x: jax.Array
+
+    @property
+    def shape(self):
+        n, h, w, c = self.x.shape
+        return (n, 2 * h, 2 * w, c)
+
+    def materialize(self) -> jax.Array:
+        return upsample_nearest2(self.x)
 
 
 def upsample_nearest2(x: jax.Array) -> jax.Array:

@@ -66,7 +66,8 @@ class Trainer:
             cfg.gen, output_dim=cfg.output_dim, nf=cfg.nf,
             activation=cfg.activation, compute_dtype=compute_dtype,
             use_pallas=cfg.effective_use_pallas(),
-            space_to_depth=cfg.space_to_depth)
+            space_to_depth=cfg.space_to_depth,
+            split_concat=cfg.split_concat)
         self.disc_model = create_discriminator(
             "patch", nf=cfg.nf, activation=cfg.activation,
             compute_dtype=compute_dtype,

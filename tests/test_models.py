@@ -190,3 +190,38 @@ def test_space_to_depth_rejected_outside_unetpp():
         from tactile_gan_tpu.models.unet_plusplus import UNetPlusPlus
         UNetPlusPlus(output_dim=3, nf=5, space_to_depth=True).init(
             jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+
+
+# ---------------------------------------------------------------------------
+# Concat-free nested-node convs (--split_concat, on by default).
+# ---------------------------------------------------------------------------
+
+def test_unetpp_split_concat_matches_concat():
+    """conv2d_multi over the input list is the SAME network as conv of the
+    concat: identical parameter tree, outputs/gradients equal to FP noise —
+    so checkpoints are interchangeable between the two modes."""
+    from tactile_gan_tpu.models.unet_plusplus import UNetPlusPlus
+
+    x = jnp.asarray(RNG.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    m_cat = UNetPlusPlus(output_dim=3, nf=8, split_concat=False)
+    m_split = UNetPlusPlus(output_dim=3, nf=8, split_concat=True)
+    params = m_cat.init(jax.random.key(0), x)
+    assert (jax.tree.map(lambda a: a.shape, params)
+            == jax.tree.map(lambda a: a.shape,
+                            m_split.init(jax.random.key(0), x)))
+    np.testing.assert_allclose(np.asarray(m_cat.apply(params, x)),
+                               np.asarray(m_split.apply(params, x)),
+                               atol=1e-5)
+    g1 = jax.grad(lambda p: jnp.sum(m_cat.apply(p, x) ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(m_split.apply(p, x) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_conv2d_multi_channel_mismatch_raises():
+    from tactile_gan_tpu.ops.conv import conv2d_multi
+
+    k = jnp.zeros((3, 3, 8, 4), jnp.float32)
+    xs = [jnp.zeros((1, 4, 4, 3)), jnp.zeros((1, 4, 4, 3))]
+    with pytest.raises(ValueError, match="kernel input width"):
+        conv2d_multi(xs, k, padding=1)

@@ -116,3 +116,29 @@ def test_conv2d_bf16_compute_close_to_f32():
     assert bf16.dtype == jnp.float32
     err = np.abs(np.asarray(f32) - np.asarray(bf16, np.float32)).max()
     assert err < 0.1
+
+
+def test_conv3x3_on_up2_matches_materialized_and_torch():
+    """The folded 4-phase up-conv equals conv3x3(nearest-up2(x)) — checked
+    against torch's Upsample+Conv2d composition, the reference's nested-node
+    input pattern (/root/reference/generators/UNet_plusplus.py:40,72-84)."""
+    from tactile_gan_tpu.ops.conv import _conv3x3_on_up2
+    from tactile_gan_tpu.ops.resize import Up2, upsample_nearest2
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 5, 7, 6)).astype(np.float32)
+    w = (rng.normal(size=(3, 3, 6, 4)) * 0.1).astype(np.float32)
+
+    got = _conv3x3_on_up2(jnp.asarray(x), jnp.asarray(w), None)
+
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    tw = torch.from_numpy(w).permute(3, 2, 0, 1)
+    up = tF.interpolate(tx, scale_factor=2, mode="nearest")
+    want = tF.conv2d(up, tw, padding=1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    # And Up2's logical shape/materialize agree.
+    u = Up2(jnp.asarray(x))
+    assert u.shape == (2, 10, 14, 6)
+    np.testing.assert_array_equal(np.asarray(u.materialize()),
+                                  np.asarray(upsample_nearest2(jnp.asarray(x))))

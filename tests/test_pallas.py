@@ -109,3 +109,37 @@ def test_model_with_pallas_matches_without():
     a = m_ref.apply(params, x)
     b = m_pal.apply(params, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_kernel_lane_fold_engages_and_edge_cases():
+    """C<128 inputs take the lane-folded layout (free reshape to 128 lanes);
+    shapes where H*W doesn't divide by the fold factor fall back to the
+    unfolded kernel — both must match XLA."""
+    from tactile_gan_tpu.ops.pallas import instance_norm as mod
+
+    # hw=4 < f=8 for c=16: fold precondition fails, unfolded kernel path.
+    x = jnp.array(RNG.normal(size=(2, 2, 2, 16)).astype(np.float32))
+    s = jnp.array(RNG.normal(size=(16,)).astype(np.float32))
+    o = jnp.array(RNG.normal(size=(16,)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(instance_norm_act(x, s, o, act="relu")),
+        np.asarray(_ref(x, s, o, "relu")), atol=2e-5)
+
+    # c=8 -> f=16 (the deepest fold used by nf=8 test models).
+    x = jnp.array(RNG.normal(size=(1, 16, 16, 8)).astype(np.float32) * 2 - 1)
+    s8 = jnp.array(RNG.normal(size=(8,)).astype(np.float32))
+    o8 = jnp.array(RNG.normal(size=(8,)).astype(np.float32))
+    got = instance_norm_act(x, s8, o8, act="leaky_relu")
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_ref(x, s8, o8, "leaky_relu")),
+                               atol=2e-5)
+
+    # Gradient parity through the folded path (c=64 — the production row-0
+    # width at nf=64).
+    x = jnp.array(RNG.normal(size=(1, 8, 8, 64)).astype(np.float32))
+    s64 = jnp.array(RNG.normal(size=(64,)).astype(np.float32))
+    o64 = jnp.array(RNG.normal(size=(64,)).astype(np.float32))
+    g1 = jax.grad(lambda a: jnp.sum(
+        instance_norm_act(a, s64, o64, act="relu") ** 2))(x)
+    g2 = jax.grad(lambda a: jnp.sum(_ref(a, s64, o64, "relu") ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-4)
