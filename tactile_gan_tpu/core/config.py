@@ -118,10 +118,10 @@ class TrainConfig:
     def effective_use_pallas(self) -> bool:
         """Pallas kernels only pay off (and only Mosaic-compile) on TPU, and
         only at small per-chip batches — measured on v5e at 256^2/nf=64
-        (round 2, lane-folded kernel + split_concat): batch 4: 35.7 (pallas)
-        vs 32.6 (XLA) img/s; batch 16: 50.9 vs 67.8 — the custom-VJP step's
-        remat backward stops paying once the batch amortizes XLA's saved
-        activations."""
+        (round 2, lane-folded kernel + closed-form backward + split_concat):
+        batch 4: 36.3 (pallas) vs 32.6 (XLA) img/s; batch 16: 51.9 vs 67.8 —
+        the custom-VJP fusion barrier stops paying once the batch amortizes
+        XLA's saved activations."""
         import jax
         return (self.use_pallas and jax.default_backend() == "tpu"
                 and self.batch_size <= 8)

@@ -21,9 +21,16 @@ sweep wasted; C=16 wastes 7/8). Per-channel statistics are recovered from the
 lanes i with i = j (mod C)), which simultaneously broadcasts each channel's
 total back to all f segments for the normalize pass.
 
-The op has a custom VJP whose backward re-derives gradients from the unfused
-XLA reference implementation (rematerialization: nothing but the inputs is
-saved).
+The op has a custom VJP. The backward is the closed-form instance-norm
+gradient written directly in XLA ops: it recomputes the (mean, rstd)
+reduction from x (one fused read — cheaper than saving them, which would
+pin pallas_call outputs into the residuals and break the second-order
+differentiation the gradient penalty needs: reverse-over-reverse tries to
+JVP the pallas_call) and never rebuilds the forward graph. The round-1
+backward instead took jax.vjp of the whole unfused reference — a full
+forward rematerialization whose extra passes made the kernel lose to XLA's
+saved-activation path at large batch. Only the inputs are saved, so the
+kernel keeps its small activation footprint.
 """
 
 from __future__ import annotations
@@ -176,10 +183,39 @@ def _fwd(x, scale, offset, act, slope, interpret):
 
 
 def _bwd(act, slope, interpret, res, g):
+    """Closed-form backward (standard biased-variance instance-norm VJP):
+
+      xhat = (x - mean) * rstd;  z = xhat*s + o;  y = act(z)
+      dz   = dy * act'(z)        (act' from the sign of z — no saved y)
+      ds   = sum_hw(dz * xhat);  do = sum_hw(dz)
+      dx   = rstd * s * (dz - mean_hw(dz) - xhat * mean_hw(dz * xhat))
+
+    All plain jnp ops of the residual INPUTS, so the gradient penalty's
+    reverse-over-reverse differentiation traces straight through it.
+    """
     x, scale, offset = res
-    _, vjp = jax.vjp(lambda a, s, o: _xla_reference(a, s, o, act, slope),
-                     x, scale, offset)
-    return vjp(g)
+    x32 = x.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    xhat = (x32 - mean) * rstd
+    s32 = scale.astype(jnp.float32)
+    if act in ("relu", "leaky_relu"):
+        z = xhat * s32 + offset.astype(jnp.float32)
+        # relu: d/dz = (z > 0) — matches jax.nn.relu's grad-at-0 == 0.
+        # leaky: d/dz = 1 if z >= 0 else slope — matches jnp.where(z>=0,...).
+        dz = g32 * ((z > 0) if act == "relu"
+                    else jnp.where(z >= 0, 1.0, slope))
+    else:
+        dz = g32
+    dscale = jnp.sum(dz * xhat, axis=(0, 1, 2))
+    doffset = jnp.sum(dz, axis=(0, 1, 2))
+    dxhat = dz * s32
+    m1 = jnp.mean(dxhat, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=(1, 2), keepdims=True)
+    dx = (rstd * (dxhat - m1 - xhat * m2)).astype(x.dtype)
+    return dx, dscale.astype(scale.dtype), doffset.astype(offset.dtype)
 
 
 _instance_norm_act.defvjp(_fwd, _bwd)
