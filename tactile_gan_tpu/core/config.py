@@ -89,6 +89,12 @@ class TrainConfig:
     split_concat: bool = True
     profile_dir: str = ""  # dump a jax.profiler (xplane) trace of epoch 1 here
     debug_nans: bool = False  # jax_debug_nans + per-epoch non-finite guard
+    # Periodic-checkpoint backend. 'native' = reference-compatible msgpack
+    # (gather to host 0); 'orbax' = sharded async step-numbered checkpoints
+    # (no host gather — each process writes its own shards; resume picks the
+    # latest step automatically). final_model.pth is always native (it is
+    # the reference artifact contract).
+    ckpt_backend: str = "native"
 
     # ------------------------------------------------------------------
     # Derived properties (mirroring reference train-time logic).
@@ -264,6 +270,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "per-step noise")
     p.add_argument("--profile_dir", default="",
                    help="dump a jax.profiler trace of the first epoch here")
+    p.add_argument("--ckpt_backend", default="native",
+                   choices=["native", "orbax"],
+                   help="periodic-checkpoint backend: 'native' writes "
+                        "reference-compatible msgpack model_<epoch>.pth; "
+                        "'orbax' writes sharded async step checkpoints "
+                        "(pod-scale: no host gather, auto latest-step "
+                        "resume). final_model.pth is always native.")
     p.add_argument("--debug_nans", default=False, action="store_true",
                    help="enable jax_debug_nans and per-epoch NaN guards")
     return p

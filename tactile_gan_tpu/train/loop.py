@@ -106,12 +106,30 @@ class Trainer:
 
         # Resume first (it defines the scheduler's step offset — the
         # reference restarts its scheduler on resume, train.py:54-77).
+        # With the orbax backend, the latest sharded step checkpoint under
+        # checkpoints/{folder_load}/orbax takes precedence (crash recovery:
+        # final_model.pth only exists after a *completed* run); it restores
+        # later, once the sharded state template exists.
         restored = None
+        self._orbax_resume = None  # (OrbaxBackend, latest_step)
         if cfg.continue_training:
-            path = os.path.join(cfg.work_root, "models", cfg.folder_load,
-                                "final_model.pth")
-            restored = load_checkpoint(path)
-        step_offset = int(restored["step"]) if restored else 0
+            if cfg.ckpt_backend == "orbax":
+                from tactile_gan_tpu.utils.orbax_ckpt import OrbaxBackend
+                load_dir = os.path.join(cfg.work_root, "checkpoints",
+                                        cfg.folder_load, "orbax")
+                if os.path.isdir(load_dir):
+                    backend = OrbaxBackend(load_dir)
+                    latest = backend.latest_step()
+                    if latest is not None:
+                        self._orbax_resume = (backend, latest)
+                    else:
+                        backend.close()
+            if self._orbax_resume is None:
+                path = os.path.join(cfg.work_root, "models", cfg.folder_load,
+                                    "final_model.pth")
+                restored = load_checkpoint(path)
+        step_offset = (self._orbax_resume[1] if self._orbax_resume
+                       else int(restored["step"]) if restored else 0)
 
         schedule = multistep_lr(cfg.lr, cfg.epoch_constant, cfg.total_epochs,
                                 self.steps_per_epoch, step_offset=step_offset)
@@ -153,6 +171,25 @@ class Trainer:
                 self.state = shard_state_tp(self.mesh, self.state)
             else:
                 self.state = shard_state(self.mesh, self.state)
+
+        # Orbax periodic-save backend + deferred orbax restore (the sharded
+        # state above is the restore template, so every shard lands on the
+        # device that owns it — no host gather in either direction).
+        self._orbax = None
+        if cfg.ckpt_backend == "orbax" and cfg.checkpoint_interval != -1:
+            from tactile_gan_tpu.utils.orbax_ckpt import OrbaxBackend
+            save_dir = os.path.abspath(os.path.join(
+                cfg.work_root, "checkpoints", cfg.folder_save, "orbax"))
+            if (self._orbax_resume is not None
+                    and self._orbax_resume[0].directory == save_dir):
+                self._orbax = self._orbax_resume[0]
+            else:
+                self._orbax = OrbaxBackend(save_dir)
+        if self._orbax_resume is not None:
+            backend, latest = self._orbax_resume
+            self.state = backend.restore(latest, self.state)
+            if backend is not self._orbax:
+                backend.close()
 
         self.step_fn = build_train_step(
             cfg, self.gen_model, self.disc_model, self.g_tx, self.d_tx,
@@ -243,18 +280,28 @@ class Trainer:
 
             if (cfg.checkpoint_interval != -1
                     and epoch % cfg.checkpoint_interval == 0):
-                # All processes participate in the (possible) gather
-                # collective; only process 0 touches disk. Async: the disk IO
-                # overlaps the next epoch's device work.
-                state = self._host_state()
-                if self.is_main_process:
-                    self._async_ckpt.save(
-                        os.path.join(cfg.work_root, "checkpoints",
-                                     cfg.folder_save, f"model_{epoch}.pth"),
-                        gen=state.g_params, disc=state.d_params,
-                        opt_g=state.g_opt_state, opt_d=state.d_opt_state,
-                        step=int(state.step))
+                if self._orbax is not None:
+                    # Sharded async save, collective across processes; the
+                    # device buffers are copied out before save() returns,
+                    # so next epoch's donated step is safe.
+                    self._orbax.save(int(jax.device_get(self.state.step)),
+                                     self.state)
+                else:
+                    # All processes participate in the (possible) gather
+                    # collective; only process 0 touches disk. Async: the
+                    # disk IO overlaps the next epoch's device work.
+                    state = self._host_state()
+                    if self.is_main_process:
+                        self._async_ckpt.save(
+                            os.path.join(cfg.work_root, "checkpoints",
+                                         cfg.folder_save,
+                                         f"model_{epoch}.pth"),
+                            gen=state.g_params, disc=state.d_params,
+                            opt_g=state.g_opt_state, opt_d=state.d_opt_state,
+                            step=int(state.step))
         self._async_ckpt.wait()
+        if self._orbax is not None:
+            self._orbax.wait()
 
     def _put_batch(self, src_u8, tgt_u8):
         """Asynchronously stage one host batch onto the device/mesh."""
