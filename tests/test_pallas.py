@@ -143,3 +143,23 @@ def test_fused_kernel_lane_fold_engages_and_edge_cases():
         instance_norm_act(a, s64, o64, act="relu") ** 2))(x)
     g2 = jax.grad(lambda a: jnp.sum(_ref(a, s64, o64, "relu") ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-4)
+
+
+def test_batch_lane_and_per_batch_forms_match_xla():
+    """Both kernel layouts against the XLA reference: batch-lane (N*C fills
+    or folds into 128-lane tiles — the production form; lane index is
+    n*C + c so the affine must tile correctly over n) and the per-batch
+    fallback (N*C with no tile relation to 128, e.g. N=3 C=64)."""
+    for n, c in ((4, 64), (16, 8), (3, 64), (2, 64)):
+        x = jnp.array(RNG.normal(size=(n, 8, 8, c)).astype(np.float32))
+        s = jnp.array(RNG.normal(size=(c,)).astype(np.float32))
+        o = jnp.array(RNG.normal(size=(c,)).astype(np.float32))
+        got = instance_norm_act(x, s, o, act="leaky_relu")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(_ref(x, s, o, "leaky_relu")),
+            atol=2e-5, err_msg=f"n={n} c={c}")
+        g1 = jax.grad(lambda a: jnp.sum(
+            instance_norm_act(a, s, o, act="relu") ** 2))(x)
+        g2 = jax.grad(lambda a: jnp.sum(_ref(a, s, o, "relu") ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=5e-4, err_msg=f"n={n} c={c}")
