@@ -67,7 +67,8 @@ _EPS = 1e-5
 _BLOCK_BYTES = 1024 * 1024
 
 
-def _pick_tile(hw: int, c: int, itemsize: int) -> int:
+def _pick_tile(hw: int, c: int, itemsize: int,
+               budget: int = _BLOCK_BYTES) -> int:
     """Largest power-of-two divisor of hw whose block fits the VMEM budget.
 
     VMEM tiles pad the lane (last) dimension to 128, so the physical block is
@@ -79,10 +80,25 @@ def _pick_tile(hw: int, c: int, itemsize: int) -> int:
     while (
         t < hw
         and hw % (t * 2) == 0
-        and (t * 2) * c_padded * itemsize <= _BLOCK_BYTES
+        and (t * 2) * c_padded * itemsize <= budget
     ):
         t *= 2
     return t
+
+
+def _fold_reduce(sums, fold_c):
+    """Lane-folded layout: lane j of the accumulator holds a partial sum of
+    group j % fold_c. One masked 128x128 matmul both reduces the f segments
+    per group and broadcasts each group's total back to every segment's lane
+    (fold_c is a power of two, so the mod is a bitwise and)."""
+    if fold_c is None:
+        return sums
+    lanes = sums.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
+    m = fold_c - 1
+    fold = ((row & m) == (col & m)).astype(jnp.float32)
+    return jax.lax.dot(sums, fold, preferred_element_type=jnp.float32)
 
 
 def _kernel(x_ref, scale_ref, offset_ref, o_ref, acc_ref, stat_ref,
@@ -101,20 +117,7 @@ def _kernel(x_ref, scale_ref, offset_ref, o_ref, acc_ref, stat_ref,
 
     @pl.when(p == num_p)
     def _():
-        sums = acc_ref[0:2, :]
-        if fold_c is not None:
-            # Lane-folded layout: lane j of the accumulator holds a partial
-            # sum of channel j % fold_c. One masked 128x128 matmul both
-            # reduces the f segments per channel and broadcasts the channel
-            # total back to every segment's lane (fold_c is a power of two,
-            # so the mod is a bitwise and).
-            lanes = sums.shape[-1]
-            row = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
-            m = fold_c - 1
-            fold = ((row & m) == (col & m)).astype(jnp.float32)
-            sums = jax.lax.dot(sums, fold,
-                               preferred_element_type=jnp.float32)
+        sums = _fold_reduce(acc_ref[0:2, :], fold_c)
         mean = sums[0, :] / hw
         var = sums[1, :] / hw - mean * mean
         stat_ref[0, :] = mean
@@ -168,8 +171,14 @@ def _norm_call(xf, scale_v, offset_v, hw, act, slope, interpret):
             pl.BlockSpec((1, width), lambda i, p: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, width), lambda i, p: (i, p % num_p, 0),
-                               memory_space=pltpu.VMEM),
+        # The output window is pinned to block 0 during the statistics sweep
+        # (p < num_p) so Mosaic never rotates (= writes back) untouched
+        # output buffers; it only starts advancing once the normalize sweep
+        # actually writes.
+        out_specs=pl.BlockSpec(
+            (1, t, width),
+            lambda i, p: (i, jnp.maximum(p - num_p, 0), 0),
+            memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, rows, width), xf.dtype),
         scratch_shapes=[
             pltpu.VMEM((8, width), jnp.float32),  # rows 0/1: sum, sum of sq
@@ -203,6 +212,134 @@ def _forward(x, scale, offset, act, slope, interpret):
     return out.reshape(n, h, w, c)
 
 
+def _bwd_kernel(x_ref, g_ref, scale_ref, offset_ref, dx_ref, dso_ref,
+                acc_ref, *, num_p, hw, act, slope, fold_c):
+    """Fused closed-form backward, batch-lane layout. Three row sweeps:
+    stats (x), dz reductions (x, g), dx writes (x, g). acc rows:
+    0 sum(x), 1 sum(x^2) -> after sweep 1: 2 mean, 3 rstd;
+    4 sum(dz), 5 sum(dz*xhat) -> after sweep 2: 6 m1*hw', 7 m2*hw'."""
+    p = pl.program_id(1)
+
+    def act_grad(z):
+        if act == "relu":
+            return (z > 0.0).astype(jnp.float32)
+        if act == "leaky_relu":
+            return jnp.where(z >= 0.0, 1.0, slope)
+        return jnp.ones_like(z)
+
+    @pl.when(p == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(p < num_p)
+    def _():
+        blk = x_ref[0].astype(jnp.float32)
+        acc_ref[0, :] += jnp.sum(blk, axis=0)
+        acc_ref[1, :] += jnp.sum(blk * blk, axis=0)
+
+    @pl.when(p == num_p)
+    def _():
+        sums = _fold_reduce(acc_ref[0:2, :], fold_c)
+        mean = sums[0, :] / hw
+        var = sums[1, :] / hw - mean * mean
+        acc_ref[2, :] = mean
+        acc_ref[3, :] = jax.lax.rsqrt(var + _EPS)
+
+    @pl.when((p >= num_p) & (p < 2 * num_p))
+    def _():
+        xb = x_ref[0].astype(jnp.float32)
+        gb = g_ref[0].astype(jnp.float32)
+        xhat = (xb - acc_ref[2, :][None, :]) * acc_ref[3, :][None, :]
+        z = xhat * scale_ref[0][None, :] + offset_ref[0][None, :]
+        dz = gb * act_grad(z)
+        acc_ref[4, :] += jnp.sum(dz, axis=0)
+        acc_ref[5, :] += jnp.sum(dz * xhat, axis=0)
+
+    @pl.when(p == 2 * num_p)
+    def _():
+        # Per-lane affine grads (pre-fold partials; the host folds/sums):
+        # doffset = sum(dz), dscale = sum(dz * xhat).
+        dso_ref[0, 0, :] = acc_ref[4, :]
+        dso_ref[0, 1, :] = acc_ref[5, :]
+        sums = _fold_reduce(acc_ref[4:6, :], fold_c)
+        s = scale_ref[0]
+        acc_ref[6, :] = sums[0, :] * s / hw  # mean_hw(dxhat)
+        acc_ref[7, :] = sums[1, :] * s / hw  # mean_hw(dxhat * xhat)
+
+    @pl.when(p >= 2 * num_p)
+    def _():
+        xb = x_ref[0].astype(jnp.float32)
+        gb = g_ref[0].astype(jnp.float32)
+        rstd = acc_ref[3, :][None, :]
+        xhat = (xb - acc_ref[2, :][None, :]) * rstd
+        z = xhat * scale_ref[0][None, :] + offset_ref[0][None, :]
+        dz = gb * act_grad(z)
+        dxhat = dz * scale_ref[0][None, :]
+        dx = rstd * (dxhat - acc_ref[6, :][None, :]
+                     - xhat * acc_ref[7, :][None, :])
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _bwd_call(xf, gf, scale_v, offset_v, hw, act, slope, interpret):
+    """Backward kernel driver on the (B, rows0, width0) view; returns
+    (dx view, per-lane (doffset, dscale) partials of shape (B, 2, width))."""
+    b, rows0, width0 = xf.shape
+
+    fold_c = None
+    rows, width = rows0, width0
+    if width0 < 128 and 128 % width0 == 0 and rows0 % (128 // width0) == 0:
+        f = 128 // width0
+        fold_c, rows, width = width0, rows0 // f, 128
+
+    # x, g inputs + dx output double-buffered -> 6 live blocks; halve the
+    # per-block budget to stay in the same scoped-VMEM envelope as forward.
+    t = _pick_tile(rows, width, jnp.dtype(xf.dtype).itemsize,
+                   budget=_BLOCK_BYTES // 2)
+    if rows % t != 0:
+        raise ValueError(f"unsupported row count {rows0}")
+    num_p = rows // t
+
+    xr = xf.reshape(b, rows, width)
+    gr = gf.reshape(b, rows, width)
+    reps = width // width0
+    scale2 = jnp.tile(scale_v, reps).reshape(1, width)
+    offset2 = jnp.tile(offset_v, reps).reshape(1, width)
+
+    dx, dso = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_p=num_p, hw=float(hw), act=act,
+                          slope=slope, fold_c=fold_c),
+        grid=(b, 3 * num_p),
+        in_specs=[
+            pl.BlockSpec((1, t, width), lambda i, p: (i, p % num_p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, width), lambda i, p: (i, p % num_p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width), lambda i, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # Pinned to block 0 until the write sweep (see _norm_call).
+            pl.BlockSpec(
+                (1, t, width),
+                lambda i, p: (i, jnp.maximum(p - 2 * num_p, 0), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, width), lambda i, p: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, rows, width), xf.dtype),
+            jax.ShapeDtypeStruct((b, 2, width), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, width), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xr, gr, scale2, offset2)
+    return dx.reshape(b, rows0, width0), dso
+
+
 def _xla_reference(x, scale, offset, act, slope):
     y = instance_norm(x, scale, offset, eps=_EPS)
     if act == "relu":
@@ -222,39 +359,47 @@ def _fwd(x, scale, offset, act, slope, interpret):
 
 
 def _bwd(act, slope, interpret, res, g):
-    """Closed-form backward (standard biased-variance instance-norm VJP):
+    """Fused closed-form backward (standard biased-variance norm VJP):
 
       xhat = (x - mean) * rstd;  z = xhat*s + o;  y = act(z)
       dz   = dy * act'(z)        (act' from the sign of z — no saved y)
-      ds   = sum_hw(dz * xhat);  do = sum_hw(dz)
-      dx   = rstd * s * (dz - mean_hw(dz) - xhat * mean_hw(dz * xhat))
+      ds   = sum(dz * xhat);     do = sum(dz)
+      dx   = rstd * (dz*s - mean_hw(dz*s) - xhat * mean_hw(dz*s * xhat))
 
-    All plain jnp ops of the residual INPUTS, so the gradient penalty's
-    reverse-over-reverse differentiation traces straight through it.
+    Runs as one Pallas kernel (_bwd_kernel) in the same batch-lane layout
+    as the forward: three row sweeps (stats / dz reductions / dx writes)
+    with all intermediates in VMEM — no dz/xhat materialization, no layout
+    copies at the custom-call boundary. Residuals are the op's INPUTS only.
+    Like the forward pallas_call, this is first-order-only (production
+    never differentiates through it: the generator's norms only ever need
+    first-order, and the discriminator's non-pow2 shapes take the XLA
+    path); reverse-over-reverse fails loudly at the forward's JVP before
+    this backward is ever reached.
     """
     x, scale, offset = res
-    x32 = x.astype(jnp.float32)
-    g32 = g.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-    rstd = jax.lax.rsqrt(var + _EPS)
-    xhat = (x32 - mean) * rstd
+    n, h, w, c = x.shape
+    hw = h * w
+    nc = n * c
     s32 = scale.astype(jnp.float32)
-    if act in ("relu", "leaky_relu"):
-        z = xhat * s32 + offset.astype(jnp.float32)
-        # relu: d/dz = (z > 0) — matches jax.nn.relu's grad-at-0 == 0.
-        # leaky: d/dz = 1 if z >= 0 else slope — matches jnp.where(z>=0,...).
-        dz = g32 * ((z > 0) if act == "relu"
-                    else jnp.where(z >= 0, 1.0, slope))
+    o32 = offset.astype(jnp.float32)
+
+    if nc % 128 == 0 or 128 % nc == 0:
+        xf = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, hw, nc)
+        gf = jnp.transpose(g, (1, 2, 0, 3)).reshape(1, hw, nc)
+        dxf, dso = _bwd_call(xf, gf, jnp.tile(s32, n), jnp.tile(o32, n),
+                             hw, act, slope, interpret)
+        dx = jnp.transpose(dxf.reshape(h, w, n, c), (2, 0, 1, 3))
+        # dso: (1, 2, width) per-lane partials; fold segments, then batch.
+        per_pair = dso[0].reshape(2, -1, nc).sum(axis=1)       # (2, n*c)
+        per_c = per_pair.reshape(2, n, c).sum(axis=1)          # (2, c)
     else:
-        dz = g32
-    dscale = jnp.sum(dz * xhat, axis=(0, 1, 2))
-    doffset = jnp.sum(dz, axis=(0, 1, 2))
-    dxhat = dz * s32
-    m1 = jnp.mean(dxhat, axis=(1, 2), keepdims=True)
-    m2 = jnp.mean(dxhat * xhat, axis=(1, 2), keepdims=True)
-    dx = (rstd * (dxhat - m1 - xhat * m2)).astype(x.dtype)
-    return dx, dscale.astype(scale.dtype), doffset.astype(offset.dtype)
+        dxf, dso = _bwd_call(x.reshape(n, hw, c), g.reshape(n, hw, c),
+                             s32, o32, hw, act, slope, interpret)
+        dx = dxf.reshape(n, h, w, c)
+        per_c = dso.reshape(n, 2, -1, c).sum(axis=2).sum(axis=0)  # (2, c)
+    doffset, dscale = per_c[0], per_c[1]
+    return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+            doffset.astype(offset.dtype))
 
 
 _instance_norm_act.defvjp(_fwd, _bwd)
