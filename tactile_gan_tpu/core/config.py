@@ -124,8 +124,8 @@ class TrainConfig:
     def effective_use_pallas(self) -> bool:
         """Pallas kernels only pay off (and only Mosaic-compile) on TPU, and
         only at small per-chip batches — measured on v5e at 256^2/nf=64
-        (round 2, batch-lane fwd+bwd kernels + split_concat):
-        batch 4: 39.3 (pallas) vs 32.6 (XLA) img/s; batch 16: 47.2 vs 67.8 —
+        (round 2, batch-lane fwd+bwd kernels + split_concat + lhs-dilated
+        up-conv): batch 4: 39.9 (pallas) vs 32.6 (XLA); batch 16: 47 vs 73.6 —
         the custom-VJP fusion barrier stops paying once the batch amortizes
         XLA's saved activations."""
         import jax

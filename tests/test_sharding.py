@@ -74,12 +74,22 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(float(getattr(ref_m, k)),
                                    float(getattr(dp_m, k)), rtol=2e-4,
                                    err_msg=k)
-    # atol: cross-device reduction order shifts gradients by ~1e-7, which
-    # Adam's first-step normalization amplifies up to ~1e-4 on tiny grads.
+    # Statistical comparison (CLAUDE.md convention): cross-device reduction
+    # order shifts gradients by ~1e-7, and Adam's first-step normalization
+    # amplifies a NEAR-ZERO gradient all the way to ~2*lr (2e-3) when the
+    # reorder flips its sign — so a handful of elements can differ at the
+    # 2*lr scale while the parameter sets remain the same distribution.
     ref_leaves = jax.tree.leaves(jax.device_get(ref_state.g_params))
     dp_leaves = jax.tree.leaves(jax.device_get(dp_state.g_params))
+    lr = cfg.lr
     for a, b in zip(ref_leaves, dp_leaves):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+        diff = np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        assert diff.max() <= 2.5 * lr, diff.max()  # Adam step-1 envelope
+        outliers = diff > 2e-4
+        # The non-amplified bulk must agree tightly, and only a handful of
+        # near-zero-gradient elements may ride the Adam amplification.
+        assert np.mean(diff[~outliers]) < 2e-5 if (~outliers).any() else True
+        assert outliers.sum() <= max(2, int(0.01 * diff.size)), outliers.sum()
 
 
 def test_tp_sharded_step_matches_replicated():
