@@ -162,12 +162,14 @@ def measure_ours(steps: int = 20):
     matrix = {f"b{BATCH}_" + ("pallas" if pallas_default else "xla"):
               round(train_ips, 3)}
     if jax.default_backend() == "tpu":
-        for b, up in ((BATCH, not pallas_default), (16, True), (16, False)):
-            kname = f"b{b}_" + ("pallas" if up else "xla")
+        for b, up, s2d in ((BATCH, not pallas_default, False), (16, True, False),
+                           (16, False, False), (BATCH, pallas_default, True)):
+            kname = (f"b{b}_" + ("pallas" if up else "xla")
+                     + ("_s2d" if s2d else ""))
             if kname in matrix:
                 continue
             try:
-                _, _, st2, step2 = _build_step(b, up)
+                _, _, st2, step2 = _build_step(b, up, space_to_depth=s2d)
                 ips2, _ = _time_step(step2, st2, b, max(8, steps // 2))
                 matrix[kname] = round(ips2, 3)
             except Exception as e:

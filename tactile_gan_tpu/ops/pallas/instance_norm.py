@@ -189,27 +189,45 @@ def _norm_call(xf, scale_v, offset_v, hw, act, slope, interpret):
     return out.reshape(b, rows0, width0)
 
 
-def _forward(x, scale, offset, act, slope, interpret):
-    n, h, w, c = x.shape
-    hw = h * w
+def _lane_form(n: int, c: int) -> bool:
+    """Batch-lane form applies when N*C fills or folds into whole 128-lane
+    tiles; deterministic in the shape, so forward and backward agree."""
     nc = n * c
+    return nc % 128 == 0 or 128 % nc == 0
+
+
+def _view(x):
+    """NHWC -> the kernel's row view. Batch-lane form: (H, W, N, C) viewed
+    as rows of N*C lanes — near the conv-preferred {3,0,2,1} layout, one
+    (n, c) pair per lane, batch-free grid (see module docstring); the
+    flattened (N, C) lane index is n*C + c, so per-lane affines tile over
+    n. Per-batch form (widths like N=3, C=64): (N, H*W, C)."""
+    n, h, w, c = x.shape
+    if _lane_form(n, c):
+        return jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h * w, n * c)
+    return x.reshape(n, h * w, c)
+
+
+def _unview(out, n, h, w, c):
+    if _lane_form(n, c):
+        return jnp.transpose(out.reshape(h, w, n, c), (2, 0, 1, 3))
+    return out.reshape(n, h, w, c)
+
+
+def _affine_lanes(v32, n, c):
+    return jnp.tile(v32, n) if _lane_form(n, c) else v32
+
+
+def _forward(x, scale, offset, act, slope, interpret):
+    """Returns (y, xf) — the normalized output and the kernel's row view of
+    x, which the custom VJP saves so the backward skips re-transposing."""
+    n, h, w, c = x.shape
     s32 = scale.astype(jnp.float32)
     o32 = offset.astype(jnp.float32)
-
-    if nc % 128 == 0 or 128 % nc == 0:
-        # Batch-lane form: (H, W, N, C) viewed as rows of N*C lanes — a
-        # bitcast of the conv-preferred {3,0,2,1} layout, one (n, c) pair
-        # per lane, batch-free grid (see module docstring). The flattened
-        # (N, C) lane index is n*C + c, so the per-lane affine tiles over n.
-        xf = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, hw, nc)
-        out = _norm_call(xf, jnp.tile(s32, n), jnp.tile(o32, n), hw, act,
-                         slope, interpret)
-        return jnp.transpose(out.reshape(h, w, n, c), (2, 0, 1, 3))
-
-    # Per-batch grid form (widths like N=3, C=64 whose N*C neither fills nor
-    # folds into whole 128-lane tiles).
-    out = _norm_call(x.reshape(n, hw, c), s32, o32, hw, act, slope, interpret)
-    return out.reshape(n, h, w, c)
+    xf = _view(x)
+    out = _norm_call(xf, _affine_lanes(s32, n, c), _affine_lanes(o32, n, c),
+                     h * w, act, slope, interpret)
+    return _unview(out, n, h, w, c), xf
 
 
 def _bwd_kernel(x_ref, g_ref, scale_ref, offset_ref, dx_ref, dso_ref,
@@ -351,11 +369,15 @@ def _xla_reference(x, scale, offset, act, slope):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _instance_norm_act(x, scale, offset, act, slope, interpret):
-    return _forward(x, scale, offset, act, slope, interpret)
+    return _forward(x, scale, offset, act, slope, interpret)[0]
 
 
 def _fwd(x, scale, offset, act, slope, interpret):
-    return _forward(x, scale, offset, act, slope, interpret), (x, scale, offset)
+    # Residual: the ALREADY-TRANSPOSED row view of x (plain XLA ops of the
+    # input — safe to save, unlike pallas_call outputs) so the backward
+    # skips one physical reshape; the NHWC shape is recovered from g.
+    y, xf = _forward(x, scale, offset, act, slope, interpret)
+    return y, (xf, scale, offset)
 
 
 def _bwd(act, slope, interpret, res, g):
@@ -369,36 +391,33 @@ def _bwd(act, slope, interpret, res, g):
     Runs as one Pallas kernel (_bwd_kernel) in the same batch-lane layout
     as the forward: three row sweeps (stats / dz reductions / dx writes)
     with all intermediates in VMEM — no dz/xhat materialization, no layout
-    copies at the custom-call boundary. Residuals are the op's INPUTS only.
+    copies at the custom-call boundary. The residual is the forward's
+    already-transposed row view of x (plus the affine params) — plain XLA
+    transforms of the inputs, never pallas_call outputs.
     Like the forward pallas_call, this is first-order-only (production
     never differentiates through it: the generator's norms only ever need
     first-order, and the discriminator's non-pow2 shapes take the XLA
     path); reverse-over-reverse fails loudly at the forward's JVP before
     this backward is ever reached.
     """
-    x, scale, offset = res
-    n, h, w, c = x.shape
+    xf, scale, offset = res
+    n, h, w, c = g.shape  # xf is the row view; NHWC geometry lives on g
     hw = h * w
-    nc = n * c
     s32 = scale.astype(jnp.float32)
     o32 = offset.astype(jnp.float32)
 
-    if nc % 128 == 0 or 128 % nc == 0:
-        xf = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, hw, nc)
-        gf = jnp.transpose(g, (1, 2, 0, 3)).reshape(1, hw, nc)
-        dxf, dso = _bwd_call(xf, gf, jnp.tile(s32, n), jnp.tile(o32, n),
-                             hw, act, slope, interpret)
-        dx = jnp.transpose(dxf.reshape(h, w, n, c), (2, 0, 1, 3))
+    gf = _view(g)
+    dxf, dso = _bwd_call(xf, gf, _affine_lanes(s32, n, c),
+                         _affine_lanes(o32, n, c), hw, act, slope, interpret)
+    dx = _unview(dxf, n, h, w, c)
+    if _lane_form(n, c):
         # dso: (1, 2, width) per-lane partials; fold segments, then batch.
-        per_pair = dso[0].reshape(2, -1, nc).sum(axis=1)       # (2, n*c)
+        per_pair = dso[0].reshape(2, -1, n * c).sum(axis=1)    # (2, n*c)
         per_c = per_pair.reshape(2, n, c).sum(axis=1)          # (2, c)
     else:
-        dxf, dso = _bwd_call(x.reshape(n, hw, c), g.reshape(n, hw, c),
-                             s32, o32, hw, act, slope, interpret)
-        dx = dxf.reshape(n, h, w, c)
         per_c = dso.reshape(n, 2, -1, c).sum(axis=2).sum(axis=0)  # (2, c)
     doffset, dscale = per_c[0], per_c[1]
-    return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+    return (dx.astype(g.dtype), dscale.astype(scale.dtype),
             doffset.astype(offset.dtype))
 
 
