@@ -65,6 +65,14 @@ class Conv(nn.Module):
         # A list/tuple input means "conv of the channel-concat of these",
         # computed concat-free (same parameter shape — checkpoints are
         # interchangeable with the concatenated form; see ops.conv2d_multi).
+        # A bare Up2 marker is a single lazily-upsampled part — it must NOT
+        # fall into the tuple branch (Up2 is a NamedTuple: iterating it
+        # would yield the raw coarse tensor and silently convolve at half
+        # resolution).
+        from tactile_gan_tpu.ops.resize import Up2
+
+        if isinstance(x, Up2):
+            x = [x]
         parts = x if isinstance(x, (list, tuple)) else None
         cin = sum(t.shape[-1] for t in parts) if parts else x.shape[-1]
         k = self.param(

@@ -37,13 +37,27 @@ def maybe_init_distributed() -> bool:
     import os
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr:
+        n_proc = os.environ.get("JAX_NUM_PROCESSES")
+        proc_id = os.environ.get("JAX_PROCESS_ID")
+        if n_proc is None or proc_id is None:
+            raise ValueError(
+                "JAX_COORDINATOR_ADDRESS is set but JAX_NUM_PROCESSES/"
+                "JAX_PROCESS_ID are not — all three are required for an "
+                "explicit multi-host launch")
         try:
-            jax.distributed.initialize(
-                coordinator_address=addr,
-                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-                process_id=int(os.environ["JAX_PROCESS_ID"]))
+            # int() errors must surface: silently falling back here would
+            # degrade an intended multi-host run to P independent trainers
+            # all writing the same artifact paths.
+            num, pid = int(n_proc), int(proc_id)
+        except ValueError as e:
+            raise ValueError(
+                f"JAX_NUM_PROCESSES={n_proc!r} / JAX_PROCESS_ID={proc_id!r} "
+                "must be integers") from e
+        try:
+            jax.distributed.initialize(coordinator_address=addr,
+                                       num_processes=num, process_id=pid)
             return True
-        except (RuntimeError, ValueError):
+        except RuntimeError:
             return False  # already initialized
     if os.environ.get("TPU_WORKER_HOSTNAMES", "localhost") in ("", "localhost"):
         return False

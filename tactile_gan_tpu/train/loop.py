@@ -49,14 +49,34 @@ class Trainer:
         if mesh is not None:
             self.mesh = mesh
         elif use_mesh:
-            # Data-parallel width must divide the global batch; default to
-            # the largest divisor the local devices allow (after reserving
-            # the tensor-parallel 'model' axis).
-            avail = len(jax.devices()) // n_model
+            n_devices = len(jax.devices())
+            if n_model > n_devices:
+                raise ValueError(
+                    f"--mesh_model {n_model} exceeds the {n_devices} visible "
+                    f"devices")
+            avail = n_devices // n_model
             n = cfg.mesh_data if cfg.mesh_data > 0 else avail
-            n = min(n, cfg.batch_size, avail)
-            while cfg.batch_size % n:
-                n -= 1
+            if jax.process_count() > 1:
+                # Multi-host: the mesh MUST cover every process's devices —
+                # local_batch_rows assigns every process batch rows, and a
+                # truncated mesh would leave later hosts with rows but no
+                # addressable mesh devices. No silent shrinking here.
+                if n != avail:
+                    raise ValueError(
+                        f"multi-host runs need the data axis to cover all "
+                        f"devices: --mesh_data {cfg.mesh_data} != "
+                        f"{avail} (= {n_devices} devices / mesh_model "
+                        f"{n_model})")
+                if cfg.batch_size % (n or 1):
+                    raise ValueError(
+                        f"global batch {cfg.batch_size} must divide over the "
+                        f"{n}-wide data axis on a multi-host mesh")
+            else:
+                # Single process: shrink to the largest batch divisor the
+                # devices allow (idle devices are fine here).
+                n = max(1, min(n, cfg.batch_size, avail))
+                while cfg.batch_size % n:
+                    n -= 1
             self.mesh = make_mesh(n, n_model) if n * n_model > 1 else None
         else:
             self.mesh = None

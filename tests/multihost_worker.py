@@ -1,5 +1,5 @@
 """Worker process for the 2-process jax.distributed CPU smoke test
-(tests/test_sharding.py::test_two_process_distributed_train).
+(tests/test_sharding.py::test_twohost_distributed_train).
 
 Each worker is one "host" of a simulated 2-host pod: 2 local virtual CPU
 devices, jax.distributed over a localhost coordinator, the real Trainer

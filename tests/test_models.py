@@ -225,3 +225,22 @@ def test_conv2d_multi_channel_mismatch_raises():
     xs = [jnp.zeros((1, 4, 4, 3)), jnp.zeros((1, 4, 4, 3))]
     with pytest.raises(ValueError, match="kernel input width"):
         conv2d_multi(xs, k, padding=1)
+
+
+def test_conv_accepts_bare_up2_marker():
+    """A bare Up2 passed to Conv must mean 'one lazily-upsampled part', not
+    fall into the NamedTuple-is-a-tuple branch (which would silently convolve
+    the coarse tensor at half resolution)."""
+    from tactile_gan_tpu.models.blocks import Conv
+    from tactile_gan_tpu.ops.resize import Up2, upsample_nearest2
+
+    x = jnp.asarray(RNG.normal(size=(1, 8, 8, 6)).astype(np.float32))
+    m = Conv(features=4, kernel_size=3, padding=1)
+    params = m.init(jax.random.key(0), [Up2(x)])
+    want = m.apply(params, [Up2(x)])
+    got = m.apply(params, Up2(x))
+    assert got.shape == (1, 16, 16, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    # And it equals the materialized composition.
+    dense = m.apply(params, upsample_nearest2(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense), atol=1e-5)

@@ -146,7 +146,37 @@ def test_dp_params_stay_replicated():
         np.testing.assert_array_equal(shards[0], s)
 
 
-def test_two_process_distributed_train(tmp_path):
+def test_trainer_mesh_validation(tmp_path):
+    """Oversized --mesh_model must raise a clear error, not ZeroDivisionError
+    (review finding: avail = devices // mesh_model hit 0)."""
+    from test_train import build_dataset, tiny_cfg
+
+    cfg = tiny_cfg(tmp_path, mesh_model=16)
+    ds = build_dataset(cfg)
+    from tactile_gan_tpu.train import Trainer
+    with pytest.raises(ValueError, match="mesh_model 16 exceeds"):
+        Trainer(cfg, ds)
+
+
+def test_maybe_init_distributed_env_validation(monkeypatch):
+    """Half-set explicit coordination env must fail loudly — silently
+    degrading to independent single-process runs would corrupt artifacts."""
+    from tactile_gan_tpu.parallel.mesh import maybe_init_distributed
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    with pytest.raises(ValueError, match="all three are required"):
+        maybe_init_distributed()
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "two")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+    with pytest.raises(ValueError, match="must be integers"):
+        maybe_init_distributed()
+
+
+def test_twohost_distributed_train(tmp_path):
+    # (name avoids "s_": pytest tmp paths embed test names and the pairing
+    # rewrite maps s_ -> t_ in basenames — see CLAUDE.md.)
     """Real multi-host semantics on one machine: 2 subprocess "hosts" x 2
     virtual CPU devices each, jax.distributed over a localhost coordinator,
     the full Trainer end-to-end. Asserts both processes agree on the global
