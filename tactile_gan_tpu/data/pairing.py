@@ -23,7 +23,13 @@ def is_image(filename: str) -> bool:
 def list_images(img_dir: str) -> List[str]:
     """Recursive walk. The reference sorts only the walk tuples, leaving
     filename order filesystem-dependent (PairedDataset.py:22); we sort file
-    names too so dataset order is deterministic across hosts."""
+    names too so dataset order is deterministic across hosts.
+
+    A missing directory raises instead of silently yielding an empty list
+    (os.walk swallows it): a mistyped --data on the eval CLIs otherwise
+    writes an empty Outputs tree with no hint of what went wrong."""
+    if not os.path.isdir(img_dir):
+        raise FileNotFoundError(f"image directory does not exist: {img_dir}")
     images = []
     for root, _, fnames in sorted(os.walk(img_dir)):
         for fname in sorted(fnames):

@@ -225,3 +225,15 @@ def test_augment_mask_nearest_preserves_value_set(monkeypatch):
     _, t = aug_mod._augment_pair(src, jnp.array(mask), jax.random.key(4))
     vals = np.unique(np.asarray(t))
     assert set(vals.tolist()) <= {0.0, 1.0}
+
+
+def test_missing_image_dir_raises(tmp_path):
+    """A nonexistent image dir must fail fast — os.walk silently yields
+    nothing, which made eval CLIs write empty Outputs trees on a mistyped
+    --data path."""
+    import pytest
+
+    from tactile_gan_tpu.data.pairing import list_images
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        list_images(str(tmp_path / "nope"))
