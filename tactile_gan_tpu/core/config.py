@@ -125,12 +125,14 @@ class TrainConfig:
         """Pallas kernels only pay off (and only Mosaic-compile) on TPU, and
         only at small per-chip batches — measured on v5e at 256^2/nf=64
         (round 2, batch-lane fwd+bwd kernels + split_concat + lhs-dilated
-        up-conv): batch 4: 39.9 (pallas) vs 32.6 (XLA); batch 16: 47 vs 73.6 —
-        the custom-VJP fusion barrier stops paying once the batch amortizes
-        XLA's saved activations."""
+        up-conv, img/s pallas vs XLA): b4 39.9 vs 28.8, b8 51.5 vs 69.9,
+        b16 47 vs 73.5 — the custom-VJP fusion barrier stops paying once
+        the batch amortizes XLA's saved activations; the crossover sits
+        between 4 and 8, so the gate is batch_size <= 4 (round 1's <= 8
+        gate was interpolated from b4/b16 only and was wrong at b8)."""
         import jax
         return (self.use_pallas and jax.default_backend() == "tpu"
-                and self.batch_size <= 8)
+                and self.batch_size <= 4)
 
     @property
     def work_root(self) -> str:
