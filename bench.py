@@ -157,12 +157,17 @@ def measure_ours(steps: int = 20):
     except Exception as e:
         extra["stage_error"] = str(e)
 
-    # Throughput matrix: batch {4,16} x {pallas, xla} — the gating evidence
-    # for effective_use_pallas(), re-measured every round.
+    # Throughput matrix: batch {4,8,16} x {pallas, xla} — the gating evidence
+    # for effective_use_pallas(), re-measured every round. b8 is the measured
+    # crossover boundary (round 2: pallas 51.5 vs XLA 69.9) that pins the
+    # per-chip gate at batch <= 4 — it must live in the BENCH artifact, not
+    # just BASELINE.md prose.
     matrix = {f"b{BATCH}_" + ("pallas" if pallas_default else "xla"):
               round(train_ips, 3)}
     if jax.default_backend() == "tpu":
-        for b, up, s2d in ((BATCH, not pallas_default, False), (16, True, False),
+        for b, up, s2d in ((BATCH, not pallas_default, False),
+                           (8, True, False), (8, False, False),
+                           (16, True, False),
                            (16, False, False), (BATCH, pallas_default, True)):
             kname = (f"b{b}_" + ("pallas" if up else "xla")
                      + ("_s2d" if s2d else ""))

@@ -66,6 +66,11 @@ class TrainConfig:
     # XLA's fusion in the full program). Effective only on the TPU backend;
     # CPU/GPU always use the XLA path (resolve via effective_use_pallas()).
     use_pallas: bool = True
+    # Testing/dryrun escape hatch: engage the Pallas kernels regardless of
+    # backend and batch gates (interpret mode emulates them off-TPU). Lets
+    # the CPU-mesh tests and the driver's multichip dryrun exercise the
+    # production kernel path under a mesh.
+    force_pallas: bool = False
     vgg_weights: str = ""  # optional local .npz with pretrained VGG16 features
     mesh_data: int = 0  # data-parallel mesh size; 0 = all local devices
     mesh_model: int = 1  # tensor-parallel mesh size (splits wide conv kernels)
@@ -81,12 +86,24 @@ class TrainConfig:
     # half the spatial iterations, double the MXU lane occupancy. Checkpoints
     # are variant-specific. Measurements in BASELINE.md.
     space_to_depth: bool = False
+    # Exact w-packed row-0 convs (UNet++): each cout<=64 3x3 conv computes
+    # two adjacent output columns per MXU window (a stride-(1,2) conv with
+    # the kernel embedded twice in disjoint cout halves), filling all 128
+    # output lanes. Same parameters, same numerics — checkpoints are
+    # interchangeable. Resolved via effective_lane_pack() (TPU only).
+    lane_pack: bool = False
     # Concat-free nested-node convs (UNet++): each node's first conv reads its
     # input list directly (conv of a concat == sum of per-piece convs with the
     # same kernel slices — numerically the same network, no wide concat
     # tensors in HBM). On by default; checkpoints are interchangeable with the
     # concatenated form either way.
     split_concat: bool = True
+    # Run the flip/affine augmentation on the HOST decode pool (numpy,
+    # data/host_aug.py) pipelined one batch ahead, instead of inside the
+    # jitted step. Removes ~11 ms of tile-granular gathers from the b4
+    # device step (round-2 xplane); uint8 rounding like the reference's
+    # albumentations. Default chosen by measurement — see BASELINE.md.
+    host_aug: bool = False
     profile_dir: str = ""  # dump a jax.profiler (xplane) trace of epoch 1 here
     debug_nans: bool = False  # jax_debug_nans + per-epoch non-finite guard
     # Periodic-checkpoint backend. 'native' = reference-compatible msgpack
@@ -121,18 +138,47 @@ class TrainConfig:
     def label_smoothing(self) -> bool:
         return not self.no_label_smoothing
 
-    def effective_use_pallas(self) -> bool:
+    def effective_use_pallas(self, data_axis_size: Optional[int] = None) -> bool:
         """Pallas kernels only pay off (and only Mosaic-compile) on TPU, and
-        only at small per-chip batches — measured on v5e at 256^2/nf=64
+        only at small PER-CHIP batches — measured on v5e at 256^2/nf=64
         (round 2, batch-lane fwd+bwd kernels + split_concat + lhs-dilated
         up-conv, img/s pallas vs XLA): b4 39.9 vs 28.8, b8 51.5 vs 69.9,
         b16 47 vs 73.5 — the custom-VJP fusion barrier stops paying once
         the batch amortizes XLA's saved activations; the crossover sits
-        between 4 and 8, so the gate is batch_size <= 4 (round 1's <= 8
-        gate was interpolated from b4/b16 only and was wrong at b8)."""
+        between 4 and 8, so the gate is per-chip batch <= 4 (round 1's <= 8
+        gate was interpolated from b4/b16 only and was wrong at b8).
+
+        The crossover is a per-chip property: under a data-parallel mesh each
+        chip steps batch_size / data_axis_size rows, so a global batch 16 over
+        4 chips is in the b4 regime where the kernel wins. ``data_axis_size``
+        is the mesh's actual data-axis width (the Trainer passes it);
+        defaulting to None derives it from mesh_data / visible devices the
+        same way Trainer builds the mesh.
+        """
         import jax
-        return (self.use_pallas and jax.default_backend() == "tpu"
-                and self.batch_size <= 4)
+        if self.force_pallas:
+            return True
+        if not (self.use_pallas and jax.default_backend() == "tpu"):
+            return False
+        if data_axis_size is None:
+            n_model = max(1, self.mesh_model)
+            avail = max(1, len(jax.devices()) // n_model)
+            n = self.mesh_data if self.mesh_data > 0 else avail
+            # Mirror Trainer's single-process shrink-to-divisor so the two
+            # agree on the per-chip batch (multi-host forbids shrinking).
+            if jax.process_count() == 1:
+                n = max(1, min(n, self.batch_size, avail))
+                while self.batch_size % n:
+                    n -= 1
+            data_axis_size = n
+        per_chip = -(-self.batch_size // max(1, data_axis_size))
+        return per_chip <= 4
+
+    def effective_lane_pack(self) -> bool:
+        """The w-packed convs only pay on the TPU MXU (CPU/GPU convs gain
+        nothing from output-lane packing and lose the 1.33x extra MACs)."""
+        import jax
+        return self.lane_pack and jax.default_backend() == "tpu"
 
     @property
     def work_root(self) -> str:
@@ -248,6 +294,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="fused Pallas instance-norm kernels (TPU only; "
                         "+37%% measured train throughput). --no-use_pallas "
                         "forces the plain XLA path.")
+    p.add_argument("--force_pallas", default=False, action="store_true",
+                   help="testing: engage the Pallas kernels regardless of "
+                        "backend/batch gates (interpret mode off-TPU)")
     p.add_argument("--vgg_weights", default="",
                    help="local .npz of pretrained VGG16 feature weights for "
                         "perceptual loss v1 (random-feature fallback if empty)")
@@ -265,11 +314,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="UNet++ concat-free nested-node convs (same network, "
                         "same checkpoint format; skips materializing the "
                         "node concats in HBM)")
+    p.add_argument("--lane_pack", default=False,
+                   action=argparse.BooleanOptionalAction,
+                   help="UNet++ perf: exact w-packed row-0 convs (two output "
+                        "columns per MXU window; same network, same "
+                        "checkpoints; TPU only)")
     p.add_argument("--legacy_label_cache", default=False, action="store_true",
                    help="reference-exact label smoothing: sample the real-"
                         "target noise once and reuse it for every batch "
                         "(reference generators.py:52-63) instead of fresh "
                         "per-step noise")
+    p.add_argument("--host_aug", default=False,
+                   action=argparse.BooleanOptionalAction,
+                   help="run flip/affine augmentation on the host decode "
+                        "pool (numpy, one batch ahead) instead of on-device "
+                        "inside the jitted step")
     p.add_argument("--profile_dir", default="",
                    help="dump a jax.profiler trace of the first epoch here")
     p.add_argument("--ckpt_backend", default="native",

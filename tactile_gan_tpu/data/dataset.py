@@ -73,6 +73,8 @@ class PairedDataset:
         threads: int = 8,
         pad_to_batch: bool = False,
         local_rows: slice = slice(None),
+        host_augment: bool = False,
+        augment_seed: int = 0,
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
         """Yield (source u8 [B,H,W,3], target u8 [B,H,W,3], valid_count).
 
@@ -84,6 +86,12 @@ class PairedDataset:
         each (padded) global batch — multi-host data parallelism: every
         process walks the same shuffled order but only materializes its own
         shard (parallel/mesh.py local_batch_rows). valid_count stays global.
+
+        ``host_augment`` applies the joint flip+affine in the decode pool
+        (data/host_aug.py) instead of on-device, pipelined one batch ahead of
+        the step; each sample's numpy Generator is seeded by
+        (augment_seed, batch_index, global_row), so results are deterministic
+        and identical across multi-host shard boundaries.
         """
         order = np.arange(len(self.images))
         if shuffle:
@@ -103,21 +111,35 @@ class PairedDataset:
             with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as decode, \
                     cf.ThreadPoolExecutor(max_workers=1) as staging:
 
-                def assemble(idx: np.ndarray):
+                if host_augment:
+                    from tactile_gan_tpu.data.host_aug import augment_pair_np
+
+                def assemble(chunk_i: int, idx: np.ndarray):
                     valid = len(idx)
                     idx = list(idx)
                     if pad_to_batch and valid < batch_size:
                         idx += [idx[-1]] * (batch_size - valid)
+                    rows = list(range(len(idx)))[local_rows]
                     idx = idx[local_rows]
-                    pairs = list(decode.map(self.load_pair, idx))
+
+                    def load_one(args):
+                        row, i = args
+                        pair = self.load_pair(i)
+                        if not host_augment:
+                            return pair
+                        rng = np.random.default_rng(
+                            (augment_seed, chunk_i, row))
+                        return augment_pair_np(pair[0], pair[1], rng)
+
+                    pairs = list(decode.map(load_one, zip(rows, idx)))
                     srcs = np.stack([p[0] for p in pairs])
                     tgts = np.stack([p[1] for p in pairs])
                     return srcs, tgts, valid
 
-                pending = staging.submit(assemble, chunks[0])
-                for nxt in chunks[1:]:
+                pending = staging.submit(assemble, 0, chunks[0])
+                for ci, nxt in enumerate(chunks[1:], start=1):
                     ready = pending.result()
-                    pending = staging.submit(assemble, nxt)
+                    pending = staging.submit(assemble, ci, nxt)
                     yield ready
                 yield pending.result()
 

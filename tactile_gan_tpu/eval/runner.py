@@ -96,46 +96,76 @@ def _write_case(i: int, src_norm: np.ndarray, tgt: np.ndarray,
 
 def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
                dataset: PairedDataset, output_path: str, target_mode: str,
-               evaluation: bool, eval_batch: int = 1,
+               evaluation: bool, eval_batch: int = 1, threads: int = 4,
                ) -> Tuple[List[float], List[float], List[float]]:
     """eval_batch=1 reproduces the reference's per-image loop
     (/root/reference/test.py:200-203); larger values batch the generator
     forward (pad-and-mask on the tail) for throughput — metrics and artifacts
-    are identical either way."""
+    are identical either way.
+
+    Host work is pipelined like the reference's 4-worker test DataLoader
+    (/root/reference/test.py:47): a decode pool fans image loading over
+    ``threads`` workers, a 1-worker staging pool assembles batch k+1 while
+    batch k runs on-device, and PNG encoding/writes are handed to a writer
+    pool so the (3.4 ms) generator forward never waits on the disk. Metric
+    accumulation stays in the main thread in dataset order, so eval.txt and
+    every artifact are byte-identical to the serial path.
+    """
+    import concurrent.futures as cf
+
     for sub in ("out", "sgt", "elm"):
         mkdir(os.path.join(output_path, sub))
 
     accuracy, dice, jaccard = [], [], []
     n = len(dataset)
-    for start in range(0, n, eval_batch):
-        idxs = list(range(start, min(start + eval_batch, n)))
-        pairs = [dataset.load_pair(i) for i in idxs]
-        srcs = np.stack([p[0] for p in pairs])
-        if len(idxs) < eval_batch:  # pad the tail to the compiled shape
-            srcs = np.concatenate(
-                [srcs, np.repeat(srcs[-1:], eval_batch - len(idxs), 0)])
-        src = jnp.asarray(srcs.astype(np.float32) / 255.0 * 2.0 - 1.0)
-        outs = np.asarray(forward_chain(src))
+    if n == 0:
+        return accuracy, dice, jaccard
+    chunks = [list(range(s, min(s + eval_batch, n)))
+              for s in range(0, n, eval_batch)]
 
-        for k, i in enumerate(idxs):
-            out = outs[k]
-            tgt = pairs[k][1].astype(np.float32) / 255.0
-            src_norm = np.asarray(src)[k]
-            if evaluation:
-                res = eval_pair(tgt, out)
-                accuracy.append(res["accuracy"])
-                dice.append(res["dice"])
-                jaccard.append(res["jaccard"])
-            _write_case(i, src_norm, tgt, out, output_path, target_mode)
+    with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as decode, \
+            cf.ThreadPoolExecutor(max_workers=1) as staging, \
+            cf.ThreadPoolExecutor(max_workers=max(1, threads)) as writer:
+
+        def assemble(idxs):
+            pairs = list(decode.map(dataset.load_pair, idxs))
+            srcs = np.stack([p[0] for p in pairs])
+            if len(idxs) < eval_batch:  # pad the tail to the compiled shape
+                srcs = np.concatenate(
+                    [srcs, np.repeat(srcs[-1:], eval_batch - len(idxs), 0)])
+            src = srcs.astype(np.float32) / 255.0 * 2.0 - 1.0
+            return idxs, pairs, src
+
+        writes = []
+        pending = staging.submit(assemble, chunks[0])
+        for ci in range(len(chunks)):
+            idxs, pairs, src_np = pending.result()
+            if ci + 1 < len(chunks):
+                pending = staging.submit(assemble, chunks[ci + 1])
+            outs = np.asarray(forward_chain(jnp.asarray(src_np)))
+
+            for k, i in enumerate(idxs):
+                out = outs[k]
+                tgt = pairs[k][1].astype(np.float32) / 255.0
+                if evaluation:
+                    res = eval_pair(tgt, out)
+                    accuracy.append(res["accuracy"])
+                    dice.append(res["dice"])
+                    jaccard.append(res["jaccard"])
+                writes.append(writer.submit(
+                    _write_case, i, src_np[k], tgt, out, output_path,
+                    target_mode))
+        for w in writes:
+            w.result()  # surface any write error
     return accuracy, dice, jaccard
 
 
 def test_model(forward, dataset: PairedDataset, output_path: str,
                evaluation: bool = False, target_mode: str = "rgb",
-               eval_batch: int = 1):
-    """Parity with /root/reference/test.py:188-230."""
+               eval_batch: int = 1, threads: int = 4):
+    """Parity with /root/reference/test.py:188-230 (4-worker loader incl.)."""
     return _run_cases(forward, dataset, output_path, target_mode, evaluation,
-                      eval_batch=eval_batch)
+                      eval_batch=eval_batch, threads=threads)
 
 
 def test_two_step(forward1, forward2, dataset: PairedDataset,
@@ -154,10 +184,29 @@ def evaluate_folder(folder: str, work_root: str = ".",
                     eval_batch: int = 1) -> Optional[dict]:
     """The test.py __main__ flow (/root/reference/test.py:232-257): load
     params.txt, model, data, loss arrays; plot; run; write eval.txt."""
+    import json
+
     from tactile_gan_tpu.eval.visualize import plot_loss
 
-    model_dir = os.path.join(work_root, "models", folder.split("/")[-1])
-    cfg = TrainConfig.from_params_file(os.path.join(model_dir, "params.txt"))
+    params_path = os.path.join(work_root, "models", folder.split("/")[-1],
+                               "params.txt")
+    cfg = TrainConfig.from_params_file(params_path)
+
+    # The reference resolves the model + loss arrays through the params.txt-
+    # RECORDED folder_save, not the --folder argument
+    # (/root/reference/test.py:240-246) — they differ when a params.txt names
+    # another save folder than the directory it sits in.
+    model_dir = os.path.join(work_root, "models", cfg.folder_save)
+
+    with open(params_path) as f:
+        raw_params = json.load(f)
+    if raw_params.get("vgg_random_fallback"):
+        # Surface the training-time provenance at eval time too: this model
+        # optimized RANDOM VGG features (no pretrained weights were found).
+        from tactile_gan_tpu.models.vgg import fallback_banner
+        print("NOTE: params.txt records vgg_random_fallback=true — this "
+              "model was trained against deterministic random VGG features.")
+        print(fallback_banner())
 
     forward, _ = load_model(os.path.join(model_dir, "final_model.pth"), cfg)
 
@@ -174,7 +223,8 @@ def evaluate_folder(folder: str, work_root: str = ".",
 
     accuracy, dice, jaccard = test_model(
         forward, dataset, output_path, evaluation=True,
-        target_mode=cfg.target, eval_batch=eval_batch)
+        target_mode=cfg.target, eval_batch=eval_batch,
+        threads=max(1, min(cfg.threads, 8)))
     if len(accuracy) > 0:
         print_evaluation(accuracy, dice, jaccard, output_path)
         return {"accuracy": float(np.mean(accuracy)),

@@ -59,6 +59,7 @@ class Conv(nn.Module):
     padding: int = 1
     use_bias: bool = True
     compute_dtype: jnp.dtype = jnp.float32
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -86,11 +87,11 @@ class Conv(nn.Module):
         if parts:
             return conv2d_multi(
                 parts, k, stride=self.stride, padding=self.padding, bias=b,
-                compute_dtype=self.compute_dtype,
+                compute_dtype=self.compute_dtype, lane_pack=self.lane_pack,
             )
         return conv2d(
             x, k, stride=self.stride, padding=self.padding, bias=b,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.compute_dtype, lane_pack=self.lane_pack,
         )
 
 
@@ -145,12 +146,14 @@ class ConvNormRelu(nn.Module):
     affine_norm: bool = True
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = Conv(
             self.features, self.kernel_size, self.stride, self.padding,
-            use_bias=self.use_bias, compute_dtype=self.compute_dtype, name="conv",
+            use_bias=self.use_bias, compute_dtype=self.compute_dtype,
+            lane_pack=self.lane_pack, name="conv",
         )(x)
         return InstanceNorm(
             affine=self.affine_norm, act="relu", use_pallas=self.use_pallas,
@@ -217,6 +220,7 @@ class DoubleConvBlock(nn.Module):
     affine_norm: bool = True
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -224,7 +228,8 @@ class DoubleConvBlock(nn.Module):
             x = ConvNormRelu(
                 self.features, use_bias=self.use_bias,
                 affine_norm=self.affine_norm, compute_dtype=self.compute_dtype,
-                use_pallas=self.use_pallas, name=name,
+                use_pallas=self.use_pallas, lane_pack=self.lane_pack,
+                name=name,
             )(x)
         return x
 

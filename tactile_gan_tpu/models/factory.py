@@ -27,6 +27,7 @@ def create_generator(
     use_pallas: bool = False,
     space_to_depth: bool = False,
     split_concat: bool = True,
+    lane_pack: bool = False,
 ) -> nn.Module:
     kw = dict(output_dim=output_dim, nf=nf, activation=activation,
               compute_dtype=compute_dtype, use_pallas=use_pallas)
@@ -37,7 +38,8 @@ def create_generator(
         return UNet(**kw)
     if key == "unet++":
         return UNetPlusPlus(space_to_depth=space_to_depth,
-                            split_concat=split_concat, **kw)
+                            split_concat=split_concat, lane_pack=lane_pack,
+                            **kw)
     if key == "bcdunet":
         return BCDUNet(**kw)
     raise NameError(f"{name} not a valid generator")

@@ -37,6 +37,10 @@ class UNetPlusPlus(nn.Module):
     activation: bool = True
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # Exact w-packed row-0 convs (ops/conv.py _pack2_w): two output columns
+    # per MXU window so the cout<=64 convs fill all 128 output lanes. Same
+    # parameters, same numerics; flag is perf-only (BASELINE.md round 3).
+    lane_pack: bool = False
     space_to_depth: bool = False
     # Feed each nested node's first conv the un-concatenated input list
     # (ops.conv2d_multi): numerically the same conv with the same parameters,
@@ -45,7 +49,8 @@ class UNetPlusPlus(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        kw = dict(compute_dtype=self.compute_dtype, use_pallas=self.use_pallas)
+        kw = dict(compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
+                  lane_pack=self.lane_pack)
         nf = self.nf
         s2d = self.space_to_depth
         widths = [2 * nf if s2d else nf, nf * 2, nf * 4, nf * 8, nf * 16]

@@ -30,6 +30,35 @@ def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def _pack2_w(kernel: jax.Array) -> jax.Array:
+    """(kh,kw,cin,co) -> (kh,kw+1,cin,2co): the kernel embedded at w-offsets
+    0 (even outputs) and 1 (odd outputs) in disjoint cout halves. The extra
+    taps are exact zeros, so a stride-(., 2) conv with this kernel computes
+    two horizontally adjacent outputs per window — identical numerics, both
+    MXU output-lane halves doing useful work."""
+    kh, kw, cin, co = kernel.shape
+    kp = jnp.zeros((kh, kw + 1, cin, 2 * co), kernel.dtype)
+    kp = kp.at[:, 0:kw, :, 0:co].set(kernel)
+    kp = kp.at[:, 1:kw + 1, :, co:].set(kernel)
+    return kp
+
+
+def _unpack2_w(y: jax.Array, co: int) -> jax.Array:
+    """(N,H,W/2,2co) packed output -> (N,H,W,co). Pure reshape: the packed
+    channel index is (phase, co) with phase major, and (W/2, phase) are
+    adjacent axes, so no transpose is involved."""
+    n, h, w2, _ = y.shape
+    return y.reshape(n, h, w2, 2, co).reshape(n, h, 2 * w2, co)
+
+
+def _w_packable(kernel, stride, padding, w, cout) -> bool:
+    """Lane-packing applies to the 3x3/s1/p1 convs whose cout fills at most
+    half the 128 MXU output lanes (the UNet++ row-0 shape at nf<=64,
+    /root/reference/generators/UNet_plusplus.py:72-84)."""
+    return (kernel.shape[:2] == (3, 3) and _pair(stride) == (1, 1)
+            and _pair(padding) == (1, 1) and w % 2 == 0 and cout <= 64)
+
+
 def conv2d(
     x: jax.Array,
     kernel: jax.Array,
@@ -38,13 +67,24 @@ def conv2d(
     padding: Union[int, Tuple[int, int]] = 0,
     bias: Optional[jax.Array] = None,
     compute_dtype: Optional[jnp.dtype] = None,
+    lane_pack: bool = False,
 ) -> jax.Array:
     """2-D convolution, x: [N,H,W,Cin], kernel: [kh,kw,Cin,Cout].
 
     ``padding`` is symmetric per spatial dim (torch semantics).
     ``compute_dtype`` casts inputs for MXU-friendly bf16 compute; the result
     is accumulated and returned in float32.
+    ``lane_pack`` enables the exact w-packed form for narrow-cout 3x3 convs
+    (see _pack2_w; measurements in BASELINE.md).
     """
+    if lane_pack and _w_packable(kernel, stride, padding, x.shape[2],
+                                 kernel.shape[3]):
+        co = kernel.shape[3]
+        y = _conv_packed_plain(x, kernel, compute_dtype)
+        out = _unpack2_w(y, co)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     x, kernel, low_precision = _cast_operands(x, kernel, compute_dtype)
@@ -72,6 +112,21 @@ def conv2d(
     return out
 
 
+def _conv_packed_plain(x, kernel, compute_dtype):
+    """The w-packed 3x3/s1/p1 conv: one stride-(1,2) conv with the
+    _pack2_w kernel; returns the PACKED (N,H,W/2,2co) output."""
+    kp = _pack2_w(kernel.astype(jnp.float32))
+    x_c, kp_c, low_precision = _cast_operands(x, kp, compute_dtype)
+    dn = lax.conv_dimension_numbers(x_c.shape, kp_c.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        x_c, kp_c, window_strides=(1, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=dn,
+        preferred_element_type=None if low_precision else jnp.float32,
+    )
+    return out.astype(jnp.float32) if low_precision else out
+
+
 def conv2d_multi(
     xs,
     kernel: jax.Array,
@@ -80,6 +135,7 @@ def conv2d_multi(
     padding: Union[int, Tuple[int, int]] = 0,
     bias: Optional[jax.Array] = None,
     compute_dtype: Optional[jnp.dtype] = None,
+    lane_pack: bool = False,
 ) -> jax.Array:
     """conv2d over a channel-concatenation WITHOUT materializing it.
 
@@ -91,26 +147,42 @@ def conv2d_multi(
     """
     from tactile_gan_tpu.ops.resize import Up2
 
+    total_c = sum(x.shape[-1] for x in xs)
+    if total_c != kernel.shape[2]:
+        # Validate BEFORE slicing: an over-wide input list would otherwise
+        # surface as an opaque lax.slice_in_dim out-of-bounds error.
+        raise ValueError(
+            f"input channels {total_c} != kernel input width {kernel.shape[2]}")
     out = None
     off = 0
     fold_up = (kernel.shape[:2] == (3, 3) and _pair(stride) == (1, 1)
                and _pair(padding) == (1, 1))
+    # Lane-packed accumulation: every piece (plain and folded-up alike) can
+    # emit the packed (N,H,W/2,2co) layout, so the sum stays packed and the
+    # unpack reshape happens once.
+    pack = (lane_pack and fold_up and kernel.shape[3] <= 64
+            and all(isinstance(x, Up2) or x.shape[2] % 2 == 0 for x in xs))
     for x in xs:
         c = x.shape[-1]
         k_piece = (kernel if len(xs) == 1
                    else lax.slice_in_dim(kernel, off, off + c, axis=2))
         if isinstance(x, Up2):
-            part = (_conv3x3_on_up2(x.x, k_piece, compute_dtype) if fold_up
-                    else conv2d(x.materialize(), k_piece, stride=stride,
-                                padding=padding, compute_dtype=compute_dtype))
+            if fold_up and pack:
+                part = _conv3x3_on_up2_packed(x.x, k_piece, compute_dtype)
+            elif fold_up:
+                part = _conv3x3_on_up2(x.x, k_piece, compute_dtype)
+            else:
+                part = conv2d(x.materialize(), k_piece, stride=stride,
+                              padding=padding, compute_dtype=compute_dtype)
+        elif pack:
+            part = _conv_packed_plain(x, k_piece, compute_dtype)
         else:
             part = conv2d(x, k_piece, stride=stride, padding=padding,
                           compute_dtype=compute_dtype)
         out = part if out is None else out + part
         off += c
-    if off != kernel.shape[2]:
-        raise ValueError(
-            f"input channels {off} != kernel input width {kernel.shape[2]}")
+    if pack:
+        out = _unpack2_w(out, kernel.shape[3])
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out
@@ -146,6 +218,32 @@ def _conv3x3_on_up2(b, kernel, compute_dtype):
     if low_precision:
         out = out.astype(jnp.float32)
     return out
+
+
+def _conv3x3_on_up2_packed(b, kernel, compute_dtype):
+    """w-packed variant of _conv3x3_on_up2: the 4x4 tap-merged kernel is
+    embedded at dilated-w offsets 0/1 into disjoint cout halves ((4,5) wide)
+    and the lhs-dilated conv strides 2 in w, emitting the packed
+    (N,H,W/2,2co) layout directly — two fine output columns per window, both
+    MXU lane halves busy. Exact: the extra taps are zeros."""
+    k = kernel.astype(jnp.float32)
+    k4 = jnp.zeros((4, 4) + kernel.shape[2:], jnp.float32)
+    for di in range(2):
+        for dj in range(2):
+            k4 = k4.at[di:di + 3, dj:dj + 3].add(k)
+    co = kernel.shape[3]
+    kp = jnp.zeros((4, 5) + kernel.shape[2:3] + (2 * co,), jnp.float32)
+    kp = kp.at[:, 0:4, :, 0:co].set(k4)
+    kp = kp.at[:, 1:5, :, co:].set(k4)
+    b_c, kp_c, low_precision = _cast_operands(b, kp, compute_dtype)
+    dn = lax.conv_dimension_numbers(b_c.shape, kp_c.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        b_c, kp_c, window_strides=(1, 2), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=dn,
+        preferred_element_type=None if low_precision else jnp.float32,
+    )
+    return out.astype(jnp.float32) if low_precision else out
 
 
 def _cast_operands(x, kernel, compute_dtype):

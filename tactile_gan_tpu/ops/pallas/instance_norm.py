@@ -426,6 +426,46 @@ _instance_norm_act.defvjp(_fwd, _bwd)
 
 _logger = logging.getLogger(__name__)
 _fallback_logged = False
+_mesh_fallback_logged = False
+
+
+def _log_mesh_fallback_once(reason: str) -> None:
+    global _mesh_fallback_logged
+    if not _mesh_fallback_logged:
+        _mesh_fallback_logged = True
+        _logger.warning(
+            "instance_norm_act: using the XLA path under the active mesh "
+            "(%s); the fused Pallas kernel only runs data-parallel.", reason)
+
+
+def _mesh_wrap(n: int):
+    """The manual-mode wrapper the Mosaic kernel needs under a mesh.
+
+    jax 0.9's pallas_call requires Manual mesh axes: under plain Auto-mode
+    GSPMD the Mosaic custom call has no partitioning rule, so XLA would
+    replicate it (every chip computing the FULL global batch). shard_map
+    over the data axis makes each chip run the kernel on its own batch
+    shard — instance norm is per-sample, so this is exact, collective-free,
+    and lands each chip in the per-chip-batch regime the gate reasons about.
+
+    Returns (abstract_mesh, None) to wrap, (None, reason) for the XLA
+    fallback, or (None, None) when no mesh is ambient (plain single-chip
+    path). The ambient mesh is whatever ``jax.sharding.set_mesh`` put in
+    context — the Trainer sets it for mesh runs.
+    """
+    from jax.sharding import get_abstract_mesh
+
+    am = get_abstract_mesh()
+    if am.empty or "data" not in am.axis_names:
+        return None, None
+    if am.shape.get("model", 1) > 1:
+        # Tensor-parallel runs may shard activations on channels; the
+        # batch-lane kernel assumes whole (n, c) lanes per chip.
+        return None, "tensor-parallel model axis > 1"
+    d = am.shape["data"]
+    if n % d:
+        return None, f"batch {n} does not divide the {d}-wide data axis"
+    return am, None
 
 
 def _log_fallback_once(h: int, w: int) -> None:
@@ -468,8 +508,19 @@ def instance_norm_act(
         _log_fallback_once(h, w)
         return _xla_reference(x, scale, offset, act, negative_slope)
     if scale is None:
+        # Non-affine: gradients wrt the dummy scale/offset are discarded.
         scale = jnp.ones((c,), jnp.float32)
         offset = jnp.zeros((c,), jnp.float32)
-        # Non-affine: gradients wrt the dummy scale/offset are discarded.
-        return _instance_norm_act(x, scale, offset, act, negative_slope, interpret)
+    am, reason = _mesh_wrap(n)
+    if reason is not None:
+        _log_mesh_fallback_once(reason)
+        return _xla_reference(x, scale, offset, act, negative_slope)
+    if am is not None:
+        from jax.sharding import PartitionSpec as P
+        wrapped = jax.shard_map(
+            lambda xl, sl, ol: _instance_norm_act(
+                xl, sl, ol, act, negative_slope, interpret),
+            mesh=am, in_specs=(P("data"), P(), P()), out_specs=P("data"),
+            axis_names={"data"}, check_vma=False)
+        return wrapped(x, scale, offset)
     return _instance_norm_act(x, scale, offset, act, negative_slope, interpret)

@@ -58,14 +58,33 @@ def maybe_init_distributed() -> bool:
                                        num_processes=num, process_id=pid)
             return True
         except RuntimeError:
-            return False  # already initialized
+            # RuntimeError covers both benign double-init AND genuine launch
+            # failures (bad coordinator address, port conflict, mismatched
+            # num_processes). Swallowing the latter would silently degrade an
+            # intended multi-host run into P independent single-process
+            # trainers all writing the same artifact paths — re-raise unless
+            # the service really is already up.
+            if _distributed_already_initialized():
+                return False
+            raise
     if os.environ.get("TPU_WORKER_HOSTNAMES", "localhost") in ("", "localhost"):
         return False
     try:
         jax.distributed.initialize()
         return True
     except (RuntimeError, ValueError):
-        return False  # already initialized or single-process
+        if _distributed_already_initialized():
+            return False
+        return False  # single-process auto-detect miss (no cluster env)
+
+
+def _distributed_already_initialized() -> bool:
+    """True when jax.distributed has a live client (double-init detection)."""
+    try:
+        from jax._src import distributed as _dist
+        return getattr(_dist.global_state, "client", None) is not None
+    except Exception:
+        return False
 
 
 def make_mesh(n_data: int = 0, n_model: int = 1,

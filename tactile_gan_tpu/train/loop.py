@@ -82,16 +82,22 @@ class Trainer:
             self.mesh = None
 
         compute_dtype = jnp.dtype(cfg.compute_dtype)
+        # The Pallas gate is a per-chip-batch property: pass the mesh's actual
+        # data-axis width so a global batch 16 over 4 chips (per-chip b4, the
+        # regime where the kernel wins) engages the kernel.
+        data_width = self.mesh.shape["data"] if self.mesh is not None else 1
+        use_pallas = cfg.effective_use_pallas(data_axis_size=data_width)
         self.gen_model = create_generator(
             cfg.gen, output_dim=cfg.output_dim, nf=cfg.nf,
             activation=cfg.activation, compute_dtype=compute_dtype,
-            use_pallas=cfg.effective_use_pallas(),
+            use_pallas=use_pallas,
             space_to_depth=cfg.space_to_depth,
-            split_concat=cfg.split_concat)
+            split_concat=cfg.split_concat,
+            lane_pack=cfg.effective_lane_pack())
         self.disc_model = create_discriminator(
             "patch", nf=cfg.nf, activation=cfg.activation,
             compute_dtype=compute_dtype,
-            use_pallas=cfg.effective_use_pallas())
+            use_pallas=use_pallas)
 
         vgg_apply = vgg_params = None
         self.vgg_random_fallback = False
@@ -235,6 +241,16 @@ class Trainer:
         cfg = self.cfg
         if cfg.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        # Ambient mesh for the whole epoch loop: Pallas kernels detect it at
+        # trace time and shard_map themselves over the data axis (jax 0.9
+        # Mosaic calls need Manual axes — see ops/pallas/instance_norm.py).
+        mesh_ctx = (jax.sharding.set_mesh(self.mesh)
+                    if self.mesh is not None else _null_cm())
+        with mesh_ctx:
+            self._train_epochs(progress, nan_guard, trace)
+
+    def _train_epochs(self, progress, nan_guard, trace) -> None:
+        cfg = self.cfg
         for i in range(cfg.total_epochs):
             epoch = i + cfg.initial_epoch
             apply_gp = (cfg.reg_every != 0 and epoch % cfg.reg_every == 0
@@ -250,10 +266,14 @@ class Trainer:
                 # rides under the running step (the host loader already
                 # double-buffers decode; this double-buffers the device copy).
                 staged = None
+                host_aug = (cfg.host_aug and not cfg.no_aug
+                            and self.dataset.aug)
                 for src_u8, tgt_u8, _ in self.dataset.batches(
                         cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
                         drop_last=not self.pad_mode, pad_to_batch=self.pad_mode,
-                        threads=cfg.threads, local_rows=self._local_rows):
+                        threads=cfg.threads, local_rows=self._local_rows,
+                        host_augment=host_aug,
+                        augment_seed=cfg.seed + 7919 * epoch):
                     nxt = self._put_batch(src_u8, tgt_u8)
                     if staged is not None:
                         self.state, m = self.step_fn(self.state, *staged,

@@ -62,7 +62,9 @@ def build_train_step(
 ):
     """Returns train_step(state, src_u8, tgt_u8, key, *, apply_gp) (jitted)."""
 
-    augment = not cfg.no_aug
+    # With --host_aug the flip/affine already happened in the decode pool
+    # (data/host_aug.py); the step only normalizes.
+    augment = not cfg.no_aug and not cfg.host_aug
     mode = cfg.loss
     smoothing = cfg.label_smoothing
 

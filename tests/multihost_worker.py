@@ -14,6 +14,7 @@ import sys
 
 def main() -> None:
     port, pid, nproc, root = sys.argv[1:5]
+    ckpt_backend = sys.argv[5] if len(sys.argv) > 5 else "native"
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -36,7 +37,8 @@ def main() -> None:
         data=os.path.join(root, "data"), gen="UNet++", nf=4, batch_size=4,
         image_size=32, loss="ls", lambda_per=0.0, lambda_gp=0.0,
         total_epochs=2, threads=2, compute_dtype="float32", use_pallas=False,
-        folder_save="mh", checkpoint_interval=1, seed=5,
+        folder_save="mh", folder_load="mh", checkpoint_interval=1, seed=5,
+        ckpt_backend=ckpt_backend,
     )
     dataset = PairedDataset(os.path.join(root, "data", "train", "source"),
                             size=cfg.image_size, mode="train", aug=True,
@@ -47,11 +49,30 @@ def main() -> None:
     assert trainer.is_main_process == (pid == "0")
     trainer.run_and_save(progress=False)
 
+    resumed_step = None
+    if ckpt_backend == "orbax":
+        # Crash-recovery path, cross-process: a fresh Trainer with
+        # --continue_training must pick up the LATEST sharded orbax step
+        # (every process restores its own shards; no host gather).
+        import dataclasses
+        cfg2 = dataclasses.replace(cfg, continue_training=True)
+        trainer2 = Trainer(cfg2, dataset)
+        resumed_step = int(trainer2.step_offset)
+        expected = trainer.steps_per_epoch * cfg.total_epochs
+        assert resumed_step == expected, (resumed_step, expected)
+        # The restored params must equal the trained finals on every process.
+        import jax.numpy as jnp
+        a = jax.tree.leaves(trainer._host_state().g_params)
+        b = jax.tree.leaves(trainer2._host_state().g_params)
+        for x, y in zip(a, b):
+            assert jnp.allclose(x, y), "orbax resume params mismatch"
+
     print(json.dumps({
         "pid": int(pid),
         "gen_loss": trainer.gen_loss,
         "disc_loss": trainer.disc_loss,
         "l1_loss": trainer.l1_loss,
+        "resumed_step": resumed_step,
     }), flush=True)
 
 

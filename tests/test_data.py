@@ -237,3 +237,78 @@ def test_missing_image_dir_raises(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="does not exist"):
         list_images(str(tmp_path / "nope"))
+
+
+# ---------------------------------------------------------------------------
+# Host-side augmentation (--host_aug): numpy twin of the device path.
+# ---------------------------------------------------------------------------
+
+def test_host_warp_matches_device_warp():
+    """host_aug.warp_np is a transliteration of augment._warp — same matrix,
+    same sampling, same blended border, to float32 precision."""
+    from tactile_gan_tpu.data import host_aug
+
+    img = RNG.uniform(0, 255, size=(24, 24, 3)).astype(np.float32)
+    th = np.deg2rad(9.0)
+    a = np.array([[np.cos(th) / 1.15, -np.sin(th)],
+                  [np.sin(th), np.cos(th) / 0.85]], np.float32)
+    off = np.array([2.1, -1.4], np.float32)
+    mat = np.concatenate([a, off[:, None]], axis=1).astype(np.float32)
+
+    for nearest in (False, True):
+        ours = host_aug.warp_np(img, mat, nearest=nearest)
+        dev = np.asarray(aug_mod._warp(jnp.array(img), jnp.array(mat),
+                                       nearest=nearest))
+        np.testing.assert_allclose(ours, dev, atol=2e-3)
+
+
+def test_host_aug_batches_deterministic_and_joint(tmp_path):
+    """Same (augment_seed, batch, row) → identical output; flips/affines are
+    joint (a flipped source implies a flipped target)."""
+    from tactile_gan_tpu.data import host_aug
+
+    src_dir = make_dataset(str(tmp_path / "d"), n=4, size=32)
+    ds = PairedDataset(src_dir, size=32, mode="train", aug=True)
+
+    def collect():
+        return [(s.copy(), t.copy()) for s, t, _ in ds.batches(
+            2, shuffle=True, seed=3, threads=2, host_augment=True,
+            augment_seed=17)]
+
+    a, b = collect(), collect()
+    assert len(a) == 2
+    for (s1, t1), (s2, t2) in zip(a, b):
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(t1, t2)
+
+    # Joint semantics: per-pair rng with forced flip (affine gated off).
+    src = RNG.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    tgt = RNG.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+
+    class Seq:
+        """First draw (flip) hits, later draws (affine gate) miss."""
+        def __init__(self):
+            self.n = 0
+        def uniform(self, lo=0.0, hi=1.0, size=None):
+            self.n += 1
+            if size is not None:
+                return np.full(size, (lo + hi) / 2.0)
+            return 0.0 if self.n == 1 else 1.0
+
+    s_out, t_out = host_aug.augment_pair_np(src, tgt, Seq())
+    np.testing.assert_array_equal(s_out, src[:, ::-1])
+    np.testing.assert_array_equal(t_out, tgt[:, ::-1])
+
+
+def test_host_aug_trainer_smoke(tmp_path):
+    """One epoch with --host_aug trains with finite losses and the step
+    program compiled WITHOUT the device augmentation."""
+    from test_train import build_dataset, tiny_cfg
+
+    from tactile_gan_tpu.train import Trainer
+
+    cfg = tiny_cfg(tmp_path, no_aug=False, host_aug=True, total_epochs=1)
+    ds = build_dataset(cfg, n=4)
+    tr = Trainer(cfg, ds, use_mesh=False)
+    tr.train(progress=False)
+    assert np.isfinite(tr.gen_loss).all() and np.isfinite(tr.disc_loss).all()

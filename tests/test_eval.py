@@ -194,3 +194,43 @@ def test_two_step_runner(tmp_path):
     assert len(acc) == 2
     assert os.path.exists(os.path.join(out_dir, "out", "1.png"))
     assert os.path.exists(os.path.join(out_dir, "elm", "2.png"))
+
+
+def test_eval_resolves_model_via_params_folder_save(tmp_path, capsys):
+    """The reference loads the model + loss arrays from the params.txt-
+    RECORDED folder_save, not the --folder argument
+    (/root/reference/test.py:240-246). A params.txt copied into an alias
+    directory must still evaluate the real save folder. Also: a recorded
+    vgg_random_fallback must be surfaced at eval time."""
+    import json
+    import shutil
+
+    from tactile_gan_tpu.eval.runner import evaluate_folder
+    from tactile_gan_tpu.train import Trainer
+
+    cfg = tiny_cfg(tmp_path, total_epochs=1, folder_save="realsave",
+                   folder_load="realsave")
+    ds = build_dataset(cfg, n=2)
+    Trainer(cfg, ds, use_mesh=False).run_and_save(progress=False)
+    os.makedirs(os.path.join(cfg.data, "test"), exist_ok=True)
+    os.symlink(os.path.join(cfg.data, "train", "source"),
+               os.path.join(cfg.data, "test", "source"))
+    os.symlink(os.path.join(cfg.data, "train", "tactile"),
+               os.path.join(cfg.data, "test", "tactile"))
+
+    # Alias dir holds ONLY params.txt (tagged with the fallback marker);
+    # model + loss arrays stay in models/realsave.
+    alias_dir = os.path.join(cfg.work_root, "models", "alias")
+    os.makedirs(alias_dir)
+    with open(os.path.join(cfg.models_dir(), "params.txt")) as f:
+        params = json.load(f)
+    params["vgg_random_fallback"] = True
+    with open(os.path.join(alias_dir, "params.txt"), "w") as f:
+        f.write(json.dumps(params))
+
+    metrics = evaluate_folder("alias", work_root=cfg.work_root)
+    assert metrics is not None
+    # Outputs land under the recorded folder_save, like the reference.
+    assert os.path.exists(os.path.join(cfg.work_root, "Outputs", "realsave",
+                                       "eval.txt"))
+    assert "RANDOM" in capsys.readouterr().out  # fallback banner surfaced

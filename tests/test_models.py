@@ -225,6 +225,11 @@ def test_conv2d_multi_channel_mismatch_raises():
     xs = [jnp.zeros((1, 4, 4, 3)), jnp.zeros((1, 4, 4, 3))]
     with pytest.raises(ValueError, match="kernel input width"):
         conv2d_multi(xs, k, padding=1)
+    # Over-wide inputs must hit the same clear ValueError, not an opaque
+    # lax.slice_in_dim out-of-bounds (validated before slicing).
+    xs_wide = [jnp.zeros((1, 4, 4, 6)), jnp.zeros((1, 4, 4, 6))]
+    with pytest.raises(ValueError, match="kernel input width"):
+        conv2d_multi(xs_wide, k, padding=1)
 
 
 def test_conv_accepts_bare_up2_marker():
@@ -244,3 +249,42 @@ def test_conv_accepts_bare_up2_marker():
     # And it equals the materialized composition.
     dense = m.apply(params, upsample_nearest2(x))
     np.testing.assert_allclose(np.asarray(got), np.asarray(dense), atol=1e-5)
+
+
+def test_lane_pack_exact_equality():
+    """The w-packed convs (lane_pack) are the SAME network: outputs equal the
+    plain form to fp-noise with identical parameters, for plain convs,
+    multi-piece convs with lazy Up2 parts, and the full UNet++."""
+    from tactile_gan_tpu.models.factory import create_generator
+    from tactile_gan_tpu.ops.conv import conv2d, conv2d_multi
+    from tactile_gan_tpu.ops.resize import Up2
+
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 5)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 5, 7)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(7,)).astype(np.float32))
+    a0 = conv2d(x, k, stride=1, padding=1, bias=b)
+    a1 = conv2d(x, k, stride=1, padding=1, bias=b, lane_pack=True)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=1e-5)
+
+    xs = [x, Up2(jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32)))]
+    k2 = jnp.asarray(rng.normal(size=(3, 3, 8, 6)).astype(np.float32))
+    m0 = conv2d_multi(xs, k2, stride=1, padding=1)
+    m1 = conv2d_multi(xs, k2, stride=1, padding=1, lane_pack=True)
+    np.testing.assert_allclose(np.asarray(m0), np.asarray(m1), atol=1e-5)
+
+    # Full model: identical params, identical output.
+    gen0 = create_generator("UNet++", output_dim=3, nf=4, activation=True)
+    gen1 = create_generator("UNet++", output_dim=3, nf=4, activation=True,
+                            lane_pack=True)
+    xin = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    params = gen0.init(jax.random.key(0), xin)
+    y0 = gen0.apply(params, xin)
+    y1 = gen1.apply(params, xin)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)
+
+    # Gradients agree too (the packed kernel embedding is differentiable).
+    g0 = jax.grad(lambda p: jnp.sum(gen0.apply(p, xin) ** 2))(params)
+    g1 = jax.grad(lambda p: jnp.sum(gen1.apply(p, xin) ** 2))(params)
+    for l0, l1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=3e-4)
