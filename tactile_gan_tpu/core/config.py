@@ -89,21 +89,32 @@ class TrainConfig:
     # Exact w-packed row-0 convs (UNet++): each cout<=64 3x3 conv computes
     # two adjacent output columns per MXU window (a stride-(1,2) conv with
     # the kernel embedded twice in disjoint cout halves), filling all 128
-    # output lanes. Same parameters, same numerics — checkpoints are
-    # interchangeable. Resolved via effective_lane_pack() (TPU only).
-    lane_pack: bool = False
+    # output lanes; the custom VJP keeps the PLAIN formulation's
+    # dgrad/wgrad (the packed conv's lhs-dilated dgrad loses, probe_wpack).
+    # Same parameters, same numerics — checkpoints are interchangeable.
+    # Tri-state: None = auto (see effective_lane_pack()); --lane_pack /
+    # --no-lane_pack force it. Measured on v5e (full step, round 3):
+    # b4 XLA 28.8 -> 36.2 img/s (+26%); b4 pallas 40.2 -> 39.6 (the unpack
+    # reshape at the Pallas-norm boundary eats the fwd gain); b16 XLA
+    # 73.5 -> 69.5. Auto therefore engages ONLY on the XLA norm path at
+    # per-chip batch <= 4.
+    lane_pack: Optional[bool] = None
     # Concat-free nested-node convs (UNet++): each node's first conv reads its
     # input list directly (conv of a concat == sum of per-piece convs with the
     # same kernel slices — numerically the same network, no wide concat
     # tensors in HBM). On by default; checkpoints are interchangeable with the
     # concatenated form either way.
     split_concat: bool = True
-    # Run the flip/affine augmentation on the HOST decode pool (numpy,
+    # Run the flip/affine augmentation on the HOST decode pool (PIL C warp,
     # data/host_aug.py) pipelined one batch ahead, instead of inside the
-    # jitted step. Removes ~11 ms of tile-granular gathers from the b4
-    # device step (round-2 xplane); uint8 rounding like the reference's
-    # albumentations. Default chosen by measurement — see BASELINE.md.
-    host_aug: bool = False
+    # jitted step. Removes the tile-granular gathers from the device step
+    # (round-2 xplane put them at ~11 ms of the b4 step); uint8 rounding
+    # like the reference's albumentations pipeline, which also augments on
+    # host workers. Default ON by measurement (round 3, v5e end-to-end
+    # Trainer epochs): b4 39.0 -> 49.4 img/s, b16 62.7 -> 64.7. The numpy
+    # warp was measured and REJECTED (31.5 img/s at b4: it holds the GIL
+    # and starves step dispatch); see BASELINE.md.
+    host_aug: bool = True
     profile_dir: str = ""  # dump a jax.profiler (xplane) trace of epoch 1 here
     debug_nans: bool = False  # jax_debug_nans + per-epoch non-finite guard
     # Periodic-checkpoint backend. 'native' = reference-compatible msgpack
@@ -160,6 +171,18 @@ class TrainConfig:
             return True
         if not (self.use_pallas and jax.default_backend() == "tpu"):
             return False
+        per_chip = self.per_chip_batch(data_axis_size)
+        return per_chip <= 4
+
+    def per_chip_batch(self, data_axis_size: Optional[int] = None) -> int:
+        """Rows each chip steps under the (implied) data-parallel mesh.
+
+        ``data_axis_size=None`` derives the data-axis width from
+        mesh_data / visible devices exactly the way Trainer builds the mesh
+        (including the single-process shrink-to-divisor), so gates that
+        default it agree with the mesh the Trainer will actually use.
+        """
+        import jax
         if data_axis_size is None:
             n_model = max(1, self.mesh_model)
             avail = max(1, len(jax.devices()) // n_model)
@@ -171,14 +194,26 @@ class TrainConfig:
                 while self.batch_size % n:
                     n -= 1
             data_axis_size = n
-        per_chip = -(-self.batch_size // max(1, data_axis_size))
-        return per_chip <= 4
+        return -(-self.batch_size // max(1, data_axis_size))
 
-    def effective_lane_pack(self) -> bool:
+    def effective_lane_pack(self, data_axis_size: Optional[int] = None) -> bool:
         """The w-packed convs only pay on the TPU MXU (CPU/GPU convs gain
-        nothing from output-lane packing and lose the 1.33x extra MACs)."""
+        nothing from output-lane packing and lose the 1.33x extra MACs).
+
+        Tri-state --lane_pack: an explicit flag wins; auto (None) engages
+        exactly where it measured a win — the XLA norm path at per-chip
+        batch <= 4 (b4 XLA 28.8 -> 36.2 img/s on v5e). Around the Pallas
+        norm kernel the packed/unpack reshape at the custom-VJP boundary
+        costs more than the fwd gain (40.2 -> 39.6), and at b16 XLA the
+        saved-activation fusions win (73.5 -> 69.5) — auto stays off there.
+        """
         import jax
-        return self.lane_pack and jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return False
+        if self.lane_pack is not None:
+            return self.lane_pack
+        return (not self.effective_use_pallas(data_axis_size)
+                and self.per_chip_batch(data_axis_size) <= 4)
 
     @property
     def work_root(self) -> str:
@@ -314,21 +349,25 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="UNet++ concat-free nested-node convs (same network, "
                         "same checkpoint format; skips materializing the "
                         "node concats in HBM)")
-    p.add_argument("--lane_pack", default=False,
+    p.add_argument("--lane_pack", default=None,
                    action=argparse.BooleanOptionalAction,
                    help="UNet++ perf: exact w-packed row-0 convs (two output "
                         "columns per MXU window; same network, same "
-                        "checkpoints; TPU only)")
+                        "checkpoints; TPU only). Default auto: on for the "
+                        "XLA norm path at per-chip batch <= 4, off "
+                        "elsewhere (measured, see BASELINE.md)")
     p.add_argument("--legacy_label_cache", default=False, action="store_true",
                    help="reference-exact label smoothing: sample the real-"
                         "target noise once and reuse it for every batch "
                         "(reference generators.py:52-63) instead of fresh "
                         "per-step noise")
-    p.add_argument("--host_aug", default=False,
+    p.add_argument("--host_aug", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="run flip/affine augmentation on the host decode "
-                        "pool (numpy, one batch ahead) instead of on-device "
-                        "inside the jitted step")
+                        "pool (PIL, one batch ahead) instead of on-device "
+                        "inside the jitted step (default on: b4 39->49 "
+                        "img/s measured; --no-host_aug restores the "
+                        "on-device path)")
     p.add_argument("--profile_dir", default="",
                    help="dump a jax.profiler trace of the first epoch here")
     p.add_argument("--ckpt_backend", default="native",

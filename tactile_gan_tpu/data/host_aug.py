@@ -9,13 +9,24 @@ inside that pool, one batch ahead of the device, removes the gathers from the
 device program entirely (--host_aug; measurements in BASELINE.md).
 
 Semantics match data/augment.py (same matrix formula, same bilinear/nearest
-sampling, same blended zero border — the warp code is a line-for-line numpy
-transliteration of the device `_warp`), with one reference-faithful
-difference: like the reference's albumentations pipeline
+sampling, same blended zero border), with one reference-faithful difference:
+like the reference's albumentations pipeline
 (/root/reference/datasets/PairedDataset.py:80-90) it operates on uint8 pixels
 and rounds the bilinear result back to uint8, where the device path stays in
 float. Randomness comes from numpy Generators seeded per (run, epoch, batch,
 row), so results are deterministic and independent of worker scheduling.
+
+The production warp runs through PIL's C affine transform (measured round 3:
+the numpy fancy-index warp at ~6 ms/pair HOLDS THE GIL, which starved the
+main thread's step dispatch through the axon relay — end-to-end b4 fell
+38.97 -> 31.47 img/s with the numpy path even though the decode pool had
+spare capacity; PIL's transform is ~2x faster AND releases the GIL). PIL
+samples at ``A @ (dst + 0.5) - 0.5`` with fixed-point weights, so the
+coefficients are recentred and the image pre-padded with 2 zero pixels to
+reproduce the blended zero border; the result matches the float reference
+``warp_np`` to within 1 uint8 step (bilinear) and on >99.7% of pixels
+(nearest — PIL rounds half up where numpy rounds half to even).
+``warp_np`` remains the exact float twin the parity tests pin against.
 """
 
 from __future__ import annotations
@@ -81,6 +92,36 @@ def warp_np(img: np.ndarray, mat: np.ndarray, *, nearest: bool) -> np.ndarray:
     return top * (1 - fy) + bot * fy
 
 
+_PAD = 2  # covers every bilinear tap that straddles the image border
+
+
+def warp_pil(img_u8: np.ndarray, mat: np.ndarray, *, nearest: bool
+             ) -> np.ndarray:
+    """GIL-releasing C warp with ``warp_np`` semantics (see module docstring
+    for the ±1-ULP fixed-point caveat).
+
+    PIL's AFFINE transform evaluates the source position at
+    ``A @ (dst + 0.5) + t - 0.5`` (output pixel centres, then a half-pixel
+    shift back), so the offset column is recentred; the 2-pixel zero
+    pre-pad makes out-of-bounds taps read true zeros, reproducing the
+    blended zero border instead of PIL's edge clamp.
+    """
+    from PIL import Image
+
+    h, w = img_u8.shape[0], img_u8.shape[1]
+    padded = np.zeros((h + 2 * _PAD, w + 2 * _PAD, img_u8.shape[2]),
+                      np.uint8)
+    padded[_PAD:-_PAD, _PAD:-_PAD] = img_u8
+    a, b, c = (float(v) for v in mat[0])
+    d, e, f = (float(v) for v in mat[1])
+    coeffs = (a, b, c - (a + b) * 0.5 + 0.5 + _PAD,
+              d, e, f - (d + e) * 0.5 + 0.5 + _PAD)
+    out = Image.fromarray(padded).transform(
+        (w, h), Image.AFFINE, coeffs,
+        resample=Image.NEAREST if nearest else Image.BILINEAR, fillcolor=0)
+    return np.asarray(out)
+
+
 def augment_pair_np(src_u8: np.ndarray, tgt_u8: np.ndarray,
                     rng: np.random.Generator
                     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -94,8 +135,6 @@ def augment_pair_np(src_u8: np.ndarray, tgt_u8: np.ndarray,
     h, w = src_u8.shape[0], src_u8.shape[1]
     mat = inverse_affine_matrix_np(rng, h, w)
     if rng.uniform() < P_AFFINE:
-        src_f = warp_np(src_u8.astype(np.float32), mat, nearest=False)
-        src_u8 = np.clip(np.rint(src_f), 0, 255).astype(np.uint8)
-        tgt_u8 = warp_np(tgt_u8.astype(np.float32), mat,
-                         nearest=True).astype(np.uint8)
+        src_u8 = warp_pil(src_u8, mat, nearest=False)
+        tgt_u8 = warp_pil(tgt_u8, mat, nearest=True)
     return np.ascontiguousarray(src_u8), np.ascontiguousarray(tgt_u8)

@@ -59,6 +59,53 @@ def _w_packable(kernel, stride, padding, w, cout) -> bool:
             and _pair(padding) == (1, 1) and w % 2 == 0 and cout <= 64)
 
 
+def _packed_with_plain_bwd(packed_fn, plain_fn, x, kernel, compute_dtype):
+    """Run ``packed_fn`` forward but differentiate as ``plain_fn``.
+
+    The w-packed forward wins (+22-24% isolated, probe_wpack) but its
+    autodiff backward loses: the packed conv's dgrad is a stride-2
+    lhs-dilated conv that XLA lowers poorly at small batch (-7..10%,
+    probe_wpack). The two formulations are the same function, so their VJPs
+    agree (FP order aside) — this custom_vjp pairs the packed forward with
+    the PLAIN formulation's standard dgrad/wgrad. The jax.vjp primal
+    re-execution inside bwd is dead code (a conv's transpose rule never
+    reads the primal output), so XLA DCEs it.
+
+    Returns the PACKED (N,H,W/2,2co) output; callers unpack once.
+    """
+    co = kernel.shape[3]
+
+    @jax.custom_vjp
+    def f(x, k):
+        return packed_fn(x, k, compute_dtype)
+
+    def fwd(x, k):
+        return packed_fn(x, k, compute_dtype), (x, k)
+
+    def bwd(res, g):
+        xr, kr = res
+        _, pullback = jax.vjp(
+            lambda a, b: plain_fn(a, b, compute_dtype), xr, kr)
+        return pullback(_unpack2_w(g, co))
+
+    f.defvjp(fwd, bwd)
+    return f(x, kernel)
+
+
+def _conv_plain3x3(x, kernel, compute_dtype):
+    """The plain 3x3/s1/p1 formulation (bwd twin of _conv_packed_plain)."""
+    x_c, k_c, low_precision = _cast_operands(x, kernel.astype(jnp.float32),
+                                             compute_dtype)
+    dn = lax.conv_dimension_numbers(x_c.shape, k_c.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    out = lax.conv_general_dilated(
+        x_c, k_c, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=dn,
+        preferred_element_type=None if low_precision else jnp.float32,
+    )
+    return out.astype(jnp.float32) if low_precision else out
+
+
 def conv2d(
     x: jax.Array,
     kernel: jax.Array,
@@ -80,7 +127,8 @@ def conv2d(
     if lane_pack and _w_packable(kernel, stride, padding, x.shape[2],
                                  kernel.shape[3]):
         co = kernel.shape[3]
-        y = _conv_packed_plain(x, kernel, compute_dtype)
+        y = _packed_with_plain_bwd(_conv_packed_plain, _conv_plain3x3,
+                                   x, kernel, compute_dtype)
         out = _unpack2_w(y, co)
         if bias is not None:
             out = out + bias.astype(out.dtype)
@@ -168,14 +216,17 @@ def conv2d_multi(
                    else lax.slice_in_dim(kernel, off, off + c, axis=2))
         if isinstance(x, Up2):
             if fold_up and pack:
-                part = _conv3x3_on_up2_packed(x.x, k_piece, compute_dtype)
+                part = _packed_with_plain_bwd(
+                    _conv3x3_on_up2_packed, _conv3x3_on_up2,
+                    x.x, k_piece, compute_dtype)
             elif fold_up:
                 part = _conv3x3_on_up2(x.x, k_piece, compute_dtype)
             else:
                 part = conv2d(x.materialize(), k_piece, stride=stride,
                               padding=padding, compute_dtype=compute_dtype)
         elif pack:
-            part = _conv_packed_plain(x, k_piece, compute_dtype)
+            part = _packed_with_plain_bwd(_conv_packed_plain, _conv_plain3x3,
+                                          x, k_piece, compute_dtype)
         else:
             part = conv2d(x, k_piece, stride=stride, padding=padding,
                           compute_dtype=compute_dtype)

@@ -119,3 +119,35 @@ def test_pallas_gate_is_per_chip(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert TrainConfig(batch_size=4).effective_use_pallas(
         data_axis_size=1) is False
+
+
+def test_lane_pack_auto_gate(monkeypatch):
+    """Auto --lane_pack engages exactly where it measured a win (round 3,
+    BASELINE.md): TPU, XLA norm path, per-chip batch <= 4. Explicit flags
+    override; off-TPU it is always off."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    # Default b4 single chip selects the Pallas norm path -> lane_pack off.
+    assert TrainConfig(batch_size=4).effective_lane_pack(
+        data_axis_size=1) is False
+    # XLA norm path (use_pallas off) at per-chip 4 -> auto on.
+    assert TrainConfig(batch_size=4, use_pallas=False).effective_lane_pack(
+        data_axis_size=1) is True
+    # XLA path at per-chip 16 -> off (b16 XLA measured a regression).
+    assert TrainConfig(batch_size=16, use_pallas=False).effective_lane_pack(
+        data_axis_size=1) is False
+    # Per-chip property: global 16 over 4 chips on the XLA path -> on.
+    assert TrainConfig(batch_size=16, use_pallas=False).effective_lane_pack(
+        data_axis_size=4) is True
+    # Explicit flags override auto in both directions.
+    assert TrainConfig(batch_size=4, lane_pack=True).effective_lane_pack(
+        data_axis_size=1) is True
+    assert TrainConfig(batch_size=4, use_pallas=False,
+                       lane_pack=False).effective_lane_pack(
+        data_axis_size=1) is False
+    # Off-TPU always off, even when forced.
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert TrainConfig(batch_size=4, lane_pack=True).effective_lane_pack(
+        data_axis_size=1) is False

@@ -312,3 +312,25 @@ def test_host_aug_trainer_smoke(tmp_path):
     tr = Trainer(cfg, ds, use_mesh=False)
     tr.train(progress=False)
     assert np.isfinite(tr.gen_loss).all() and np.isfinite(tr.disc_loss).all()
+
+
+def test_warp_pil_matches_float_reference():
+    """The production PIL warp (C, GIL-releasing) reproduces the float
+    reference warp_np: bilinear within one uint8 step (PIL fixed-point
+    weights), nearest identical except half-boundary picks (PIL rounds half
+    up, numpy half to even), border exactly zero-blended via the pre-pad."""
+    from tactile_gan_tpu.data import host_aug
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    for i in range(5):
+        mat = host_aug.inverse_affine_matrix_np(
+            np.random.default_rng(50 + i), 64, 64)
+        ref = np.clip(np.rint(host_aug.warp_np(
+            img.astype(np.float32), mat, nearest=False)), 0, 255)
+        got = host_aug.warp_pil(img, mat, nearest=False)
+        assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+        ref_n = host_aug.warp_np(img.astype(np.float32), mat,
+                                 nearest=True).astype(np.uint8)
+        got_n = host_aug.warp_pil(img, mat, nearest=True)
+        assert (got_n == ref_n).mean() > 0.99
