@@ -45,14 +45,16 @@ def _build_step(batch, use_pallas, split_concat=True, space_to_depth=False):
                       compute_dtype="bfloat16", no_aug=False,
                       use_pallas=use_pallas, split_concat=split_concat,
                       space_to_depth=space_to_depth)
-    # Auto lane_pack (single-chip: data axis 1) — the shipped gate: w-packed
-    # row-0 convs on the XLA norm path at per-chip batch <= 4.
+    # The shipped auto gates at data-axis width 1 (single chip): packed
+    # row-0 at per-chip batch <= 4, w-packed lane_pack convs on the
+    # XLA-norm non-packed path.
     lane_pack = cfg.effective_lane_pack(data_axis_size=1)
+    packed_row0 = cfg.effective_packed_row0(data_axis_size=1)
     gen = create_generator(cfg.gen, cfg.output_dim, cfg.nf, cfg.activation,
                            compute_dtype=jnp.bfloat16, use_pallas=use_pallas,
                            split_concat=split_concat,
                            space_to_depth=space_to_depth,
-                           lane_pack=lane_pack)
+                           lane_pack=lane_pack, packed_row0=packed_row0)
     disc = create_discriminator("patch", cfg.nf, cfg.activation,
                                 compute_dtype=jnp.bfloat16,
                                 use_pallas=use_pallas)

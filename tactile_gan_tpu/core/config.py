@@ -99,6 +99,14 @@ class TrainConfig:
     # 73.5 -> 69.5. Auto therefore engages ONLY on the XLA norm path at
     # per-chip batch <= 4.
     lane_pack: Optional[bool] = None
+    # Packed-resident row 0 (UNet++, ops/packed_row.py): the full-resolution
+    # row lives in the w-pair packed layout — dense 128-lane tiles for the
+    # cout=nf convs (custom Pallas kernel, 2.3x XLA on v5e) and packed-space
+    # instance norms XLA fuses for free. EXACT same network and parameters
+    # (checkpoints interchangeable), unlike --space_to_depth. Tri-state:
+    # None = auto (on for TPU UNet++ nf<=64 without space_to_depth);
+    # --packed_row0/--no-packed_row0 force. Measurements in BASELINE.md.
+    packed_row0: Optional[bool] = None
     # Concat-free nested-node convs (UNet++): each node's first conv reads its
     # input list directly (conv of a concat == sum of per-piece convs with the
     # same kernel slices — numerically the same network, no wide concat
@@ -213,7 +221,32 @@ class TrainConfig:
         if self.lane_pack is not None:
             return self.lane_pack
         return (not self.effective_use_pallas(data_axis_size)
-                and self.per_chip_batch(data_axis_size) <= 4)
+                and self.per_chip_batch(data_axis_size) <= 4
+                and not self.effective_packed_row0(data_axis_size))
+
+    def effective_packed_row0(self, data_axis_size: Optional[int] = None
+                              ) -> bool:
+        """Packed-resident row 0 runs the custom Pallas conv kernel — TPU
+        only (off-TPU the exact XLA twin exists but measures slower than
+        the plain conv path). Auto engages for the supported geometry
+        (UNet++, nf <= 64 so 2*nf lanes fit one 128-lane tile,
+        split_concat, no space_to_depth) at per-chip batch <= 4 — measured
+        on v5e (full step, round 3): b4 pallas 49.4 -> 56.6 img/s, b4 XLA
+        28.8 -> 54.1, but b16 XLA 64.7 -> 62.5 (the saved-activation
+        fusions win again at large per-chip batch)."""
+        import jax
+        if jax.default_backend() != "tpu":
+            return False
+        ok = (self.gen.lower() == "unet++" and 2 * self.nf <= 128
+              and self.split_concat and not self.space_to_depth
+              and self.image_size % 2 == 0)
+        if self.packed_row0 is not None:
+            if self.packed_row0 and not ok:
+                raise ValueError(
+                    "--packed_row0 needs UNet++, nf<=64, split_concat and "
+                    "no space_to_depth")
+            return self.packed_row0
+        return ok and self.per_chip_batch(data_axis_size) <= 4
 
     @property
     def work_root(self) -> str:
@@ -356,6 +389,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "checkpoints; TPU only). Default auto: on for the "
                         "XLA norm path at per-chip batch <= 4, off "
                         "elsewhere (measured, see BASELINE.md)")
+    p.add_argument("--packed_row0", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="UNet++ perf: keep the full-resolution row in the "
+                        "w-pair packed layout (custom Pallas conv, free "
+                        "packed-space norms; same network, same checkpoints; "
+                        "TPU only). Default auto: on when supported")
     p.add_argument("--legacy_label_cache", default=False, action="store_true",
                    help="reference-exact label smoothing: sample the real-"
                         "target noise once and reuse it for every batch "

@@ -60,6 +60,11 @@ class Conv(nn.Module):
     use_bias: bool = True
     compute_dtype: jnp.dtype = jnp.float32
     lane_pack: bool = False
+    # Emit the packed row-0 layout (ops/packed_row.py): requires a 3x3/s1/p1
+    # conv with 2*features <= 128; inputs may be PackedW, Up2, or NHWC
+    # pieces. Same parameters as the plain path — checkpoints are
+    # interchangeable.
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -69,10 +74,11 @@ class Conv(nn.Module):
         # A bare Up2 marker is a single lazily-upsampled part — it must NOT
         # fall into the tuple branch (Up2 is a NamedTuple: iterating it
         # would yield the raw coarse tensor and silently convolve at half
-        # resolution).
+        # resolution). PackedW likewise.
+        from tactile_gan_tpu.ops.packed_row import PackedW, conv2d_multi_packed
         from tactile_gan_tpu.ops.resize import Up2
 
-        if isinstance(x, Up2):
+        if isinstance(x, (Up2, PackedW)):
             x = [x]
         parts = x if isinstance(x, (list, tuple)) else None
         cin = sum(t.shape[-1] for t in parts) if parts else x.shape[-1]
@@ -84,6 +90,13 @@ class Conv(nn.Module):
             self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             if self.use_bias else None
         )
+        if self.packed_out or (parts and any(isinstance(t, PackedW)
+                                             for t in parts)):
+            if (self.kernel_size, self.stride, self.padding) != (3, 1, 1):
+                raise ValueError("packed conv supports only 3x3/s1/p1")
+            return conv2d_multi_packed(
+                parts if parts else [x], k, bias=b,
+                compute_dtype=self.compute_dtype)
         if parts:
             return conv2d_multi(
                 parts, k, stride=self.stride, padding=self.padding, bias=b,
@@ -127,11 +140,19 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
+        from tactile_gan_tpu.ops.packed_row import (
+            PackedW, instance_norm_act_packed,
+        )
+
+        c = x.channels if isinstance(x, PackedW) else x.shape[-1]
         scale = offset = None
         if self.affine:
             scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
             offset = self.param("offset", nn.initializers.zeros, (c,), jnp.float32)
+        if isinstance(x, PackedW):
+            # Packed-space IN: lane reductions folded over the two w-phases
+            # — plain XLA, fuses with neighbours, differentiable.
+            return instance_norm_act_packed(x, scale, offset, self.act)
         return apply_norm_act(x, scale, offset, self.act, use_pallas=self.use_pallas)
 
 
@@ -147,13 +168,14 @@ class ConvNormRelu(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     lane_pack: bool = False
+    packed: bool = False  # keep the activation in the packed row-0 layout
 
     @nn.compact
     def __call__(self, x):
         x = Conv(
             self.features, self.kernel_size, self.stride, self.padding,
             use_bias=self.use_bias, compute_dtype=self.compute_dtype,
-            lane_pack=self.lane_pack, name="conv",
+            lane_pack=self.lane_pack, packed_out=self.packed, name="conv",
         )(x)
         return InstanceNorm(
             affine=self.affine_norm, act="relu", use_pallas=self.use_pallas,
@@ -221,6 +243,7 @@ class DoubleConvBlock(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     lane_pack: bool = False
+    packed: bool = False  # packed row-0 layout in and out (ops/packed_row.py)
 
     @nn.compact
     def __call__(self, x):
@@ -229,7 +252,7 @@ class DoubleConvBlock(nn.Module):
                 self.features, use_bias=self.use_bias,
                 affine_norm=self.affine_norm, compute_dtype=self.compute_dtype,
                 use_pallas=self.use_pallas, lane_pack=self.lane_pack,
-                name=name,
+                packed=self.packed, name=name,
             )(x)
         return x
 

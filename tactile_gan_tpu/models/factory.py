@@ -28,18 +28,21 @@ def create_generator(
     space_to_depth: bool = False,
     split_concat: bool = True,
     lane_pack: bool = False,
+    packed_row0: bool = False,
 ) -> nn.Module:
     kw = dict(output_dim=output_dim, nf=nf, activation=activation,
               compute_dtype=compute_dtype, use_pallas=use_pallas)
     key = name.lower()
     if space_to_depth and key != "unet++":
         raise ValueError("--space_to_depth is only supported for UNet++")
+    if packed_row0 and key != "unet++":
+        raise ValueError("--packed_row0 is only supported for UNet++")
     if key == "unet":
         return UNet(**kw)
     if key == "unet++":
         return UNetPlusPlus(space_to_depth=space_to_depth,
                             split_concat=split_concat, lane_pack=lane_pack,
-                            **kw)
+                            packed_row0=packed_row0, **kw)
     if key == "bcdunet":
         return BCDUNet(**kw)
     raise NameError(f"{name} not a valid generator")

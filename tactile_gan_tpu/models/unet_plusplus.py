@@ -46,6 +46,13 @@ class UNetPlusPlus(nn.Module):
     # (ops.conv2d_multi): numerically the same conv with the same parameters,
     # but the wide concat tensors never round-trip HBM.
     split_concat: bool = True
+    # Keep the full-resolution row RESIDENT in the w-pair packed layout
+    # (ops/packed_row.py): dense 128-lane tiles for the cout=nf<=64 convs
+    # (Pallas kernel, 2.3x XLA on v5e) and free packed-space instance norms.
+    # Exact same network and parameters — checkpoints are interchangeable —
+    # unlike the --space_to_depth VARIANT. Requires nf <= 64, split_concat,
+    # and no space_to_depth.
+    packed_row0: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -53,6 +60,13 @@ class UNetPlusPlus(nn.Module):
                   lane_pack=self.lane_pack)
         nf = self.nf
         s2d = self.space_to_depth
+        packed0 = self.packed_row0
+        if packed0 and (s2d or not self.split_concat or 2 * nf > 128):
+            raise ValueError(
+                "packed_row0 needs split_concat, nf <= 64, and no "
+                "space_to_depth")
+        if packed0:
+            from tactile_gan_tpu.ops.packed_row import unpack_w
         widths = [2 * nf if s2d else nf, nf * 2, nf * 4, nf * 8, nf * 16]
         if s2d:
             if nf % 2:
@@ -64,7 +78,8 @@ class UNetPlusPlus(nn.Module):
             x = space_to_depth2(x)
 
         def block(row, col, h):
-            return DoubleConvBlock(widths[row], name=f"node{row}_{col}", **kw)(h)
+            return DoubleConvBlock(widths[row], name=f"node{row}_{col}",
+                                   packed=(packed0 and row == 0), **kw)(h)
 
         def pool_row0(h):
             # Logical avg_pool2 of the folded row-0 tensor = mean over the
@@ -78,6 +93,8 @@ class UNetPlusPlus(nn.Module):
         for row in range(5):
             if row == 1 and s2d:
                 h = pool_row0(h)
+            elif row == 1 and packed0:
+                h = avg_pool2(unpack_w(h))
             elif row > 0:
                 h = avg_pool2(h)
             h = block(row, 0, h)
@@ -106,6 +123,8 @@ class UNetPlusPlus(nn.Module):
                 nodes[(row, col)] = block(row, col, joined)
 
         out = nodes[(0, 4)]
+        if packed0:
+            out = unpack_w(out)  # the 1x1 head runs in NHWC
         if s2d:
             out = depth_to_space2(out)  # back to H x W x nf/2 for the head
         return Head(

@@ -1,0 +1,314 @@
+"""Packed-resident row-0 operations (the round-3 MXU-occupancy design).
+
+At nf=64 the UNet++ full-resolution row convs (cout=64,
+/root/reference/generators/UNet_plusplus.py:72-84) fill half the MXU's 128
+output lanes and pay the (…,64) lane-padding tax on every HBM access. The
+W-PAIR PACKED layout fixes both WITHOUT changing the network: a row-0
+feature map (N,H,W,C) lives as ``(N, H*W/2, 2C)`` — row (h*W/2 + w2), lanes
+(e, ci) for w = 2*w2 + e. This is the plain row-major flattening, so
+pack/unpack are single XLA reshapes, and every lane-tile is dense.
+
+Measured on v5e (BASELINE.md round 3): the packed Pallas conv runs the
+256² b4 cout=64 conv at 0.278 ms (69.5 TFLOP/s useful) vs XLA's 0.649 ms,
+and packed-space instance norm is a lane reduction XLA fuses for free — a
+full conv→IN→relu→conv→IN→relu node measured 0.53 ms packed vs 6.19 XLA.
+The win requires the whole row to STAY packed; these ops provide the
+packed-resident node pieces plus the boundary converters.
+
+Gradients: ``packed_conv3x3`` carries a custom VJP that never leaves the
+packed layout — dx is the SAME Pallas kernel with the rotated-transposed
+kernel (the transpose of a SAME-padded 3x3/s1 conv is such a conv), and dk
+contracts the shifted input views against the cotangent with plain XLA
+matmuls, folded back to (3,3,C,Co) by the transpose of the B-matrix
+embedding. Off-TPU every path falls back to an exact XLA formulation of the
+same arithmetic (fast enough for tests; no interpreter involved).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tactile_gan_tpu.ops.pallas.conv3x3 import (
+    _build_b, conv3x3_packed, supported,
+)
+
+
+class PackedW(NamedTuple):
+    """A row-0 feature map resident in the packed layout."""
+
+    d: jax.Array  # (N, H*W/2, 2C)
+    h: int        # image height (W/2 = d.shape[1] // h)
+
+    @property
+    def channels(self) -> int:
+        return self.d.shape[-1] // 2
+
+    @property
+    def shape(self):
+        """Logical NHWC shape (so width-summing callers treat packed and
+        plain pieces uniformly)."""
+        n, hp, c2 = self.d.shape
+        return (n, self.h, 2 * (hp // self.h), c2 // 2)
+
+
+def pack_w(x: jax.Array) -> PackedW:
+    """(N,H,W,C) -> packed. A pure row-major reshape (one XLA copy at most)."""
+    n, h, w, c = x.shape
+    return PackedW(x.reshape(n, h * w // 2, 2 * c), h)
+
+
+def unpack_w(p: PackedW) -> jax.Array:
+    """packed -> (N,H,W,C)."""
+    n, hp, c2 = p.d.shape
+    w2 = hp // p.h
+    return p.d.reshape(n, p.h, 2 * w2, c2 // 2)
+
+
+def packed_supported(c: int, co: int) -> bool:
+    """Shapes the packed kernel (and its VJP) handle: dense 128-lane rows."""
+    return 2 * c <= 128 and 2 * co <= 128
+
+
+# ---------------------------------------------------------------------------
+# Shifted views (XLA): the exact building blocks of the packed formulation,
+# shared by the off-TPU forward, the wgrad, and the unit tests.
+# ---------------------------------------------------------------------------
+
+
+def _shift_h(xp: jax.Array, w2: int, dh: int) -> jax.Array:
+    """A_dh: rows moved so A[t] = xp[t + dh*w2] with zero h-padding."""
+    n, hp, c2 = xp.shape
+    if dh == 0:
+        return xp
+    if dh < 0:
+        return jnp.pad(xp, ((0, 0), (w2, 0), (0, 0)))[:, :hp]
+    return jnp.pad(xp, ((0, 0), (0, w2), (0, 0)))[:, w2:]
+
+
+def _alr(a: jax.Array, w2: int, c: int) -> jax.Array:
+    """The cross-pair operand: lanes c.. from the previous pair's odd
+    element, lanes ..c from the next pair's even element, zero w-padding
+    at image-row boundaries."""
+    n, hp, c2 = a.shape
+    down = jnp.pad(a, ((0, 0), (1, 0), (0, 0)))[:, :hp]
+    up = jnp.pad(a, ((0, 0), (0, 1), (0, 0)))[:, 1:]
+    row = jnp.arange(hp) % w2
+    first = (row == 0)[None, :, None]
+    last = (row == w2 - 1)[None, :, None]
+    lane_hi = (jnp.arange(c2) >= c)[None, None, :]
+    zero = jnp.zeros_like(a)
+    return jnp.where(lane_hi,
+                     jnp.where(first, zero, down),
+                     jnp.where(last, zero, up))
+
+
+def _conv_packed_xla(xp: jax.Array, k: jax.Array, h: int,
+                     compute_dtype) -> jax.Array:
+    """Exact XLA twin of the packed Pallas conv (off-TPU fwd/dx path)."""
+    n, hp, c2 = xp.shape
+    c = c2 // 2
+    w2 = hp // h
+    bmid, blr = _build_b(k.astype(jnp.float32))
+    cd = compute_dtype or jnp.float32
+    acc = None
+    for dh in (-1, 0, 1):
+        a = _shift_h(xp, w2, dh)
+        alr = _alr(a, w2, c)
+        part = jnp.einsum("nrc,co->nro", a.astype(cd),
+                          bmid[dh + 1].astype(cd),
+                          preferred_element_type=jnp.float32)
+        part = part + jnp.einsum("nrc,co->nro", alr.astype(cd),
+                                 blr[dh + 1].astype(cd),
+                                 preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _rot_t(k: jax.Array) -> jax.Array:
+    """The dgrad kernel: rot180 + in/out swap (transpose of SAME 3x3/s1)."""
+    return jnp.transpose(k[::-1, ::-1], (0, 1, 3, 2))
+
+
+def _dk_from_db(dbmid: jax.Array, dblr: jax.Array, c: int, co: int
+                ) -> jax.Array:
+    """Transpose of _build_b: fold dB (3, 2C, 2Co) back to (3, 3, C, Co)."""
+    dk = jnp.zeros((3, 3, c, co), dbmid.dtype)
+    for e in (0, 1):
+        for p in (0, 1):
+            dk = dk.at[:, e - p + 1].add(
+                dbmid[:, e * c:(e + 1) * c, p * co:(p + 1) * co])
+    dk = dk.at[:, 0].add(dblr[:, c:2 * c, 0:co])
+    dk = dk.at[:, 2].add(dblr[:, 0:c, co:2 * co])
+    return dk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def packed_conv3x3(xp: jax.Array, k: jax.Array, h: int,
+                   compute_dtype=None) -> jax.Array:
+    """3x3/s1/p1 conv fully in the packed layout, differentiable.
+
+    xp (N, H*W/2, 2C) f32, k (3,3,C,Co) f32 -> (N, H*W/2, 2Co) f32.
+    """
+    return _packed_fwd_impl(xp, k, h, compute_dtype)
+
+
+def _packed_fwd_impl(xp, k, h, compute_dtype):
+    # compute_dtype None means f32 everywhere (tests/parity); production
+    # passes bf16 explicitly.
+    import jax as _jax
+    if _jax.default_backend() != "tpu":
+        return _conv_packed_xla(xp, k, h, compute_dtype)
+    cd = compute_dtype or jnp.float32
+
+    # Under an ambient mesh (jax.sharding.set_mesh, set by the Trainer) the
+    # Mosaic call needs Manual axes — Auto-mode GSPMD has no partitioning
+    # rule for it and would replicate the FULL global batch per chip. The
+    # conv is per-sample, so shard_map over the data axis is exact and
+    # collective-free (the same treatment as the Pallas norm kernels,
+    # ops/pallas/instance_norm.py). Tensor-parallel or indivisible batches
+    # fall back to the exact XLA twin, which GSPMD partitions natively.
+    from jax.sharding import get_abstract_mesh
+
+    am = get_abstract_mesh()
+    if not am.empty and "data" in am.axis_names:
+        if (am.shape.get("model", 1) > 1
+                or xp.shape[0] % am.shape["data"]):
+            return _conv_packed_xla(xp, k, h, compute_dtype)
+        from jax.sharding import PartitionSpec as P
+        return jax.shard_map(
+            lambda xl, kl: conv3x3_packed(xl, kl, h=h, compute_dtype=cd),
+            mesh=am, in_specs=(P("data"), P()), out_specs=P("data"),
+            axis_names={"data"}, check_vma=False)(xp, k)
+    return conv3x3_packed(xp, k, h=h, compute_dtype=cd)
+
+
+def _packed_fwd(xp, k, h, compute_dtype):
+    return _packed_fwd_impl(xp, k, h, compute_dtype), (xp, k)
+
+
+def _packed_bwd(h, compute_dtype, res, g):
+    xp, k = res
+    n, hp, c2 = xp.shape
+    c = c2 // 2
+    co = k.shape[3]
+    w2 = hp // h
+    cd = compute_dtype or jnp.float32
+
+    # dx: the transpose of a SAME-padded 3x3/s1 conv is the same conv with
+    # the rotated-transposed kernel — the packed kernel again (2Co<=128 and
+    # 2C<=128 both hold by construction).
+    dxp = _packed_fwd_impl(g, _rot_t(k), h, compute_dtype)
+
+    # dk: contract the shifted input views against the cotangent; fold the
+    # dB matrices back through the embedding transpose. Plain XLA matmuls
+    # (K = N*HP is huge, M=2C, N=2Co — MXU-shaped).
+    dbmid = []
+    dblr = []
+    for dh in (-1, 0, 1):
+        a = _shift_h(xp, w2, dh)
+        alr = _alr(a, w2, c)
+        dbmid.append(jnp.einsum("nrc,nro->co", a.astype(cd), g.astype(cd),
+                                preferred_element_type=jnp.float32))
+        dblr.append(jnp.einsum("nrc,nro->co", alr.astype(cd), g.astype(cd),
+                               preferred_element_type=jnp.float32))
+    dk = _dk_from_db(jnp.stack(dbmid), jnp.stack(dblr), c, co)
+    return dxp, dk.astype(k.dtype)
+
+
+packed_conv3x3.defvjp(_packed_fwd, _packed_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed-space instance norm (+ activation): plain XLA — the stats are lane
+# reductions folded over the two w-phases, which XLA fuses into the
+# surrounding elementwise work (no custom kernel needed; differentiable).
+# ---------------------------------------------------------------------------
+
+
+def instance_norm_act_packed(p: PackedW, scale: Optional[jax.Array],
+                             offset: Optional[jax.Array], act: Optional[str],
+                             *, eps: float = 1e-5,
+                             negative_slope: float = 0.2) -> PackedW:
+    yp = p.d
+    n, hp, c2 = yp.shape
+    c = c2 // 2
+    s1 = jnp.sum(yp, axis=1)
+    cnt = 2.0 * hp
+    mean = (s1[:, :c] + s1[:, c:]) / cnt
+    # Two-pass variance like ops/norm.py: the single-pass E[x^2]-m^2 form
+    # loses enough bits through rsqrt at low-variance nodes to visibly
+    # perturb deep-network gradients (measured: ~3% parameter-grad drift on
+    # the nf=4 test net).
+    d = yp - jnp.tile(mean, (1, 2))[:, None, :]
+    s2 = jnp.sum(d * d, axis=1)
+    var = (s2[:, :c] + s2[:, c:]) / cnt
+    rstd = jax.lax.rsqrt(var + eps)
+    sc = rstd if scale is None else rstd * scale[None, :]
+    sh = -mean * sc if offset is None else offset[None, :] - mean * sc
+    z = yp * jnp.tile(sc, (1, 2))[:, None, :] + jnp.tile(sh, (1, 2))[:, None, :]
+    if act == "relu":
+        z = jax.nn.relu(z)
+    elif act == "leaky_relu":
+        z = jax.nn.leaky_relu(z, negative_slope=negative_slope)
+    return PackedW(z, p.h)
+
+
+# ---------------------------------------------------------------------------
+# The node-level conv over a mixed piece list (the packed analogue of
+# ops.conv.conv2d_multi): PackedW pieces run the packed kernel, lazy Up2
+# pieces run the XLA folded up-conv and pack its output (one reshape), and
+# plain NHWC pieces (the 3-channel stem) run the XLA conv and pack. The sum
+# stays packed; the bias tiles over the two w-phases.
+# ---------------------------------------------------------------------------
+
+
+def conv2d_multi_packed(xs, kernel: jax.Array, *,
+                        bias: Optional[jax.Array] = None,
+                        compute_dtype=None) -> PackedW:
+    """conv3x3/s1/p1 of the channel-concat of ``xs``, packed-resident.
+
+    ``xs``: list of PackedW / Up2 / NHWC pieces whose channel widths sum to
+    kernel.shape[2]. Returns PackedW with kernel.shape[3] channels.
+    """
+    from tactile_gan_tpu.ops.conv import _conv3x3_on_up2, conv2d
+    from tactile_gan_tpu.ops.resize import Up2
+
+    total_c = sum(t.shape[-1] for t in xs)
+    if total_c != kernel.shape[2]:
+        raise ValueError(
+            f"input channels {total_c} != kernel input width {kernel.shape[2]}")
+    co = kernel.shape[3]
+    if 2 * co > 128:
+        raise ValueError(f"packed conv needs 2*cout <= 128, got cout={co}")
+
+    h = None
+    for t in xs:
+        if isinstance(t, PackedW):
+            h = t.h
+            break
+        if isinstance(t, Up2):
+            h = t.shape[1]
+            break
+        h = t.shape[1]
+    out = None
+    off = 0
+    for t in xs:
+        c = t.shape[-1]
+        k_piece = (kernel if len(xs) == 1
+                   else jax.lax.slice_in_dim(kernel, off, off + c, axis=2))
+        if isinstance(t, PackedW):
+            part = packed_conv3x3(t.d, k_piece, t.h, compute_dtype)
+        elif isinstance(t, Up2):
+            part = pack_w(_conv3x3_on_up2(t.x, k_piece, compute_dtype)).d
+        else:
+            part = pack_w(conv2d(t, k_piece, stride=1, padding=1,
+                                 compute_dtype=compute_dtype)).d
+        out = part if out is None else out + part
+        off += c
+    if bias is not None:
+        out = out + jnp.tile(bias.astype(out.dtype), 2)[None, None, :]
+    return PackedW(out, h)

@@ -93,7 +93,8 @@ class Trainer:
             use_pallas=use_pallas,
             space_to_depth=cfg.space_to_depth,
             split_concat=cfg.split_concat,
-            lane_pack=cfg.effective_lane_pack(data_axis_size=data_width))
+            lane_pack=cfg.effective_lane_pack(data_axis_size=data_width),
+            packed_row0=cfg.effective_packed_row0(data_axis_size=data_width))
         self.disc_model = create_discriminator(
             "patch", nf=cfg.nf, activation=cfg.activation,
             compute_dtype=compute_dtype,

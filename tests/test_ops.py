@@ -142,3 +142,59 @@ def test_conv3x3_on_up2_matches_materialized_and_torch():
     assert u.shape == (2, 10, 14, 6)
     np.testing.assert_array_equal(np.asarray(u.materialize()),
                                   np.asarray(upsample_nearest2(jnp.asarray(x))))
+
+
+def test_packed_conv3x3_matches_lax_conv():
+    """ops/packed_row.py: the packed conv (custom VJP: Pallas/XLA-twin fwd,
+    packed dgrad, embedding-transpose wgrad) equals the plain lax conv in
+    value and both gradients."""
+    from jax import lax
+
+    from tactile_gan_tpu.ops.packed_row import (
+        PackedW, pack_w, packed_conv3x3, unpack_w,
+    )
+
+    rng = np.random.default_rng(7)
+    for (N, H, W, C, Co) in [(2, 8, 8, 5, 6), (1, 6, 12, 64, 64)]:
+        x = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(3, 3, C, Co)).astype(np.float32) * .1)
+        dn = lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        ref = lax.conv_general_dilated(x, k, (1, 1), ((1, 1), (1, 1)),
+                                       dimension_numbers=dn)
+        got = unpack_w(PackedW(packed_conv3x3(pack_w(x).d, k, H, None), H))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+        def loss_ref(x2, k2):
+            return jnp.sum(jnp.sin(lax.conv_general_dilated(
+                x2, k2, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)))
+
+        def loss_packed(x2, k2):
+            y = packed_conv3x3(pack_w(x2).d, k2, H, None)
+            return jnp.sum(jnp.sin(unpack_w(PackedW(y, H))))
+
+        ga = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+        gb = jax.grad(loss_packed, argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(ga[0]),
+                                   atol=5e-5, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gb[1]), np.asarray(ga[1]),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_instance_norm_act_packed_matches_plain():
+    """Packed-space IN (+relu) equals the NHWC instance_norm on the same
+    data (single-pass sumsq stats vs two-pass: fp-noise only)."""
+    from tactile_gan_tpu.ops.norm import instance_norm
+    from tactile_gan_tpu.ops.packed_row import (
+        instance_norm_act_packed, pack_w, unpack_w,
+    )
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 6)).astype(np.float32) * 3 + 1)
+    sc = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+    off = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+    want = jax.nn.relu(instance_norm(x, sc, off))
+    got = unpack_w(instance_norm_act_packed(pack_w(x), sc, off, "relu"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
+                               rtol=1e-4)
