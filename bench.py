@@ -28,7 +28,8 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 CACHE_KEY = f"torch_cpu_unetpp_nf{NF}_b{BATCH}_{SIZE}_ls_gp"
 
 
-def _build_step(batch, use_pallas, split_concat=True, space_to_depth=False):
+def _build_step(batch, use_pallas, split_concat=True, space_to_depth=False,
+                packed_row0=None):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +45,7 @@ def _build_step(batch, use_pallas, split_concat=True, space_to_depth=False):
                       loss="ls", lambda_per=0.0, lambda_gp=0.01,
                       compute_dtype="bfloat16", no_aug=False,
                       use_pallas=use_pallas, split_concat=split_concat,
-                      space_to_depth=space_to_depth)
+                      space_to_depth=space_to_depth, packed_row0=packed_row0)
     # The shipped auto gates at data-axis width 1 (single chip): packed
     # row-0 at per-chip batch <= 4, w-packed lane_pack convs on the
     # XLA-norm non-packed path.
@@ -171,16 +172,21 @@ def measure_ours(steps: int = 20):
     matrix = {f"b{BATCH}_" + ("pallas" if pallas_default else "xla"):
               round(train_ips, 3)}
     if jax.default_backend() == "tpu":
-        for b, up, s2d in ((BATCH, not pallas_default, False),
-                           (8, True, False), (8, False, False),
-                           (16, True, False),
-                           (16, False, False), (BATCH, pallas_default, True)):
-            kname = (f"b{b}_" + ("pallas" if up else "xla")
-                     + ("_s2d" if s2d else ""))
+        # Every entry runs the SHIPPED auto gates for its shape (packed
+        # row-0 / lane_pack engage per their per-chip-batch rules); the
+        # explicit nopacked entry preserves the packed-gate evidence.
+        for b, up, s2d, pr0, suffix in (
+                (BATCH, not pallas_default, False, None, ""),
+                (BATCH, pallas_default, False, False, "_nopacked"),
+                (8, True, False, None, ""), (8, False, False, None, ""),
+                (16, True, False, None, ""), (16, False, False, None, ""),
+                (BATCH, pallas_default, True, None, "_s2d")):
+            kname = (f"b{b}_" + ("pallas" if up else "xla") + suffix)
             if kname in matrix:
                 continue
             try:
-                _, _, st2, step2 = _build_step(b, up, space_to_depth=s2d)
+                _, _, st2, step2 = _build_step(b, up, space_to_depth=s2d,
+                                               packed_row0=pr0)
                 ips2, _ = _time_step(step2, st2, b, max(8, steps // 2))
                 matrix[kname] = round(ips2, 3)
             except Exception as e:

@@ -343,3 +343,50 @@ def test_pallas_train_step_under_mesh_matches_single_device(tmp_path):
     for k in ("gen_loss", "disc_loss", "l1_loss", "gp_loss"):
         np.testing.assert_allclose(getattr(tr_ref, k), getattr(tr_p, k),
                                    rtol=3e-4, err_msg=k)
+
+
+def test_packed_row0_step_under_mesh_matches_single_device():
+    """The packed-resident row-0 model (ops/packed_row.py) under a
+    data-parallel mesh produces the same losses/params as single-device.
+    On CPU the packed convs run their exact XLA twin, which GSPMD
+    partitions natively; on TPU the Pallas kernel shard_maps itself over
+    the data axis (same ambient-mesh mechanism as the norm kernels)."""
+    def setup(batch):
+        cfg = TrainConfig(gen="UNet++", nf=4, batch_size=batch,
+                          image_size=32, loss="ls", lambda_per=0.0,
+                          lambda_gp=0.01, compute_dtype="float32",
+                          no_aug=True)
+        gen = create_generator(cfg.gen, cfg.output_dim, cfg.nf,
+                               cfg.activation, packed_row0=True)
+        disc = create_discriminator("patch", cfg.nf, cfg.activation)
+        sched = multistep_lr(cfg.lr, cfg.epoch_constant, cfg.total_epochs, 1)
+        g_tx = make_optimizer(sched, cfg.beta1)
+        d_tx = make_optimizer(sched, cfg.beta1)
+        ex = jnp.zeros((batch, 32, 32, 3))
+        state = create_train_state(gen, disc, ex, ex, jax.random.key(0),
+                                   g_tx, d_tx)
+        return state, build_train_step(cfg, gen, disc, g_tx, d_tx)
+
+    src = RNG.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8)
+    tgt = RNG.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8)
+    key = jax.random.key(5)
+
+    state1, step1 = setup(8)
+    ref_state, ref_m = step1(state1, jnp.asarray(src), jnp.asarray(tgt), key,
+                             apply_gp=True)
+
+    mesh = make_mesh(4)
+    state2, step2 = setup(8)
+    state2 = shard_state(mesh, state2)
+    s_src, s_tgt = shard_batch(mesh, src, tgt)
+    with jax.sharding.set_mesh(mesh):
+        dp_state, dp_m = step2(state2, s_src, s_tgt, key, apply_gp=True)
+
+    for k in ("loss_d", "loss_g", "loss_l1", "loss_gp"):
+        np.testing.assert_allclose(float(getattr(ref_m, k)),
+                                   float(getattr(dp_m, k)), rtol=2e-4,
+                                   atol=1e-5)
+    ref_leaves = jax.tree.leaves(ref_state.g_params)
+    dp_leaves = jax.tree.leaves(jax.device_get(dp_state.g_params))
+    for a, b in zip(ref_leaves, dp_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
