@@ -132,14 +132,24 @@ def test_lane_pack_auto_gate(monkeypatch):
     # Default b4 single chip selects the Pallas norm path -> lane_pack off.
     assert TrainConfig(batch_size=4).effective_lane_pack(
         data_axis_size=1) is False
-    # XLA norm path (use_pallas off) at per-chip 4 -> auto on.
+    # XLA norm path at per-chip 4: packed_row0 auto covers the row-0 convs
+    # better, so lane_pack stays off by default...
     assert TrainConfig(batch_size=4, use_pallas=False).effective_lane_pack(
+        data_axis_size=1) is False
+    # ...and auto-engages when packed_row0 is unavailable (forced off, or
+    # unsupported geometry like a non-UNet++ generator).
+    assert TrainConfig(batch_size=4, use_pallas=False,
+                       packed_row0=False).effective_lane_pack(
         data_axis_size=1) is True
+    assert TrainConfig(batch_size=4, use_pallas=False,
+                       gen="UNet").effective_lane_pack(data_axis_size=1) \
+        is True
     # XLA path at per-chip 16 -> off (b16 XLA measured a regression).
     assert TrainConfig(batch_size=16, use_pallas=False).effective_lane_pack(
         data_axis_size=1) is False
-    # Per-chip property: global 16 over 4 chips on the XLA path -> on.
-    assert TrainConfig(batch_size=16, use_pallas=False).effective_lane_pack(
+    # Per-chip property: global 16 over 4 chips on the XLA path (packed off).
+    assert TrainConfig(batch_size=16, use_pallas=False,
+                       packed_row0=False).effective_lane_pack(
         data_axis_size=4) is True
     # Explicit flags override auto in both directions.
     assert TrainConfig(batch_size=4, lane_pack=True).effective_lane_pack(
@@ -150,4 +160,42 @@ def test_lane_pack_auto_gate(monkeypatch):
     # Off-TPU always off, even when forced.
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert TrainConfig(batch_size=4, lane_pack=True).effective_lane_pack(
+        data_axis_size=1) is False
+
+
+def test_packed_row0_auto_gate(monkeypatch):
+    """Auto --packed_row0: TPU + UNet++ + nf<=64 + split_concat + no s2d at
+    per-chip batch <= 4 (BASELINE.md round 3); explicit flags override;
+    invalid geometry with an explicit True raises; off-TPU always off."""
+    import jax
+
+    import pytest as _pytest
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert TrainConfig(batch_size=4).effective_packed_row0(
+        data_axis_size=1) is True
+    # b16 single chip -> off (measured regression); 16 over 4 chips -> on.
+    assert TrainConfig(batch_size=16).effective_packed_row0(
+        data_axis_size=1) is False
+    assert TrainConfig(batch_size=16).effective_packed_row0(
+        data_axis_size=4) is True
+    # Unsupported geometries stay off.
+    assert TrainConfig(batch_size=4, gen="UNet").effective_packed_row0(
+        data_axis_size=1) is False
+    assert TrainConfig(batch_size=4, nf=128).effective_packed_row0(
+        data_axis_size=1) is False
+    assert TrainConfig(batch_size=4,
+                       space_to_depth=True).effective_packed_row0(
+        data_axis_size=1) is False
+    # Explicit True on an unsupported geometry is a loud error.
+    with _pytest.raises(ValueError):
+        TrainConfig(batch_size=4, nf=128,
+                    packed_row0=True).effective_packed_row0(data_axis_size=1)
+    # Explicit override at b16.
+    assert TrainConfig(batch_size=16,
+                       packed_row0=True).effective_packed_row0(
+        data_axis_size=1) is True
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert TrainConfig(batch_size=4,
+                       packed_row0=True).effective_packed_row0(
         data_axis_size=1) is False
