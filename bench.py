@@ -123,21 +123,37 @@ def measure_ours(steps: int = 20):
     except Exception:
         pass
 
-    # Stage fractions via cheap jitted sub-programs (aug, generator fwd).
+    # Stage fractions via cheap jitted sub-programs. With --host_aug (the
+    # default) the flip/affine is NOT part of the device step — it runs in
+    # the decode pool one batch ahead — so the host PIL warp is timed
+    # instead and reported under its own key.
     try:
-        from tactile_gan_tpu.data.augment import preprocess_batch
+        if cfg.host_aug and not cfg.no_aug:
+            from tactile_gan_tpu.data.host_aug import augment_pair_np
+            s_np = np.asarray(src)
+            t_np = np.asarray(tgt)
+            t0 = time.perf_counter()
+            for i in range(steps):
+                for r_ in range(BATCH):
+                    augment_pair_np(s_np[r_], t_np[r_],
+                                    np.random.default_rng((i, r_)))
+            aug_ms = (time.perf_counter() - t0) / steps * 1e3
+            aug_key = "host_aug_per_batch_(overlapped)"
+        else:
+            from tactile_gan_tpu.data.augment import preprocess_batch
 
-        @jax.jit
-        def aug_only(s, t, k):
-            a, b = preprocess_batch(s, t, k, augment=True)
-            return jnp.sum(a) + jnp.sum(b)
+            @jax.jit
+            def aug_only(s, t, k):
+                a, b = preprocess_batch(s, t, k, augment=True)
+                return jnp.sum(a) + jnp.sum(b)
 
-        float(aug_only(src, tgt, key))
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            r = aug_only(src, tgt, key)
-        float(r)
-        aug_ms = (time.perf_counter() - t0) / steps * 1e3
+            float(aug_only(src, tgt, key))
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                r = aug_only(src, tgt, key)
+            float(r)
+            aug_ms = (time.perf_counter() - t0) / steps * 1e3
+            aug_key = "augment"
 
         @jax.jit
         def g_fwd(p, s):
@@ -154,11 +170,10 @@ def measure_ours(steps: int = 20):
         step_ms = BATCH / train_ips * 1e3
         extra["stage_ms"] = {
             "full_step": round(step_ms, 2),
-            "augment": round(aug_ms, 2),
+            aug_key: round(aug_ms, 2),
             "g_forward": round(gfwd_ms, 2),
         }
         extra["stage_fractions"] = {
-            "augment": round(aug_ms / step_ms, 3),
             "g_forward": round(gfwd_ms / step_ms, 3),
         }
     except Exception as e:

@@ -274,7 +274,7 @@ def conv2d_multi_packed(xs, kernel: jax.Array, *,
     ``xs``: list of PackedW / Up2 / NHWC pieces whose channel widths sum to
     kernel.shape[2]. Returns PackedW with kernel.shape[3] channels.
     """
-    from tactile_gan_tpu.ops.conv import _conv3x3_on_up2, conv2d
+    from tactile_gan_tpu.ops.conv import conv2d
     from tactile_gan_tpu.ops.resize import Up2
 
     total_c = sum(t.shape[-1] for t in xs)
@@ -303,7 +303,7 @@ def conv2d_multi_packed(xs, kernel: jax.Array, *,
         if isinstance(t, PackedW):
             part = packed_conv3x3(t.d, k_piece, t.h, compute_dtype)
         elif isinstance(t, Up2):
-            part = pack_w(_conv3x3_on_up2(t.x, k_piece, compute_dtype)).d
+            part = conv3x3_on_up2_packed(t.x, k_piece, compute_dtype)
         else:
             part = pack_w(conv2d(t, k_piece, stride=1, padding=1,
                                  compute_dtype=compute_dtype)).d
@@ -312,3 +312,68 @@ def conv2d_multi_packed(xs, kernel: jax.Array, *,
     if bias is not None:
         out = out + jnp.tile(bias.astype(out.dtype), 2)[None, None, :]
     return PackedW(out, h)
+
+
+# ---------------------------------------------------------------------------
+# The lazy-Up2 piece, packed-destination form.
+#
+# conv3x3(nearest_up2(b)) previously ran as one lhs-dilated conv whose
+# output then needed a conv-layout -> rows-layout copy to join the packed
+# accumulation (0.41 ms each at b4 256²), and whose autodiff dgrad reverses
+# the full fine cotangent (0.58 ms each) — round-3 xplane. This form runs
+# TWO plain 2x3-tap convs on the coarse grid (one per output h-parity q,
+# output channels (p, co) = 2co = full MXU lanes) and lands in the packed
+# row order with a single stack+reshape XLA fuses into the consumer:
+# packed fine rows are ordered (a, q, b) = exactly stack(c0, c1, axis=2).
+# Same taps as the materialized composition (tap sums in f32), ordinary
+# cheap dgrad. 6 ci*co MACs per fine output vs the folded form's 4 — but
+# at full lane occupancy, which wins wall-clock (BASELINE.md round 3).
+# ---------------------------------------------------------------------------
+
+_UP2_ROWS = {0: ((0,), (1, 2)), 1: ((0, 1), (2,))}
+_UP2_COLS = {0: ((0,), (1, 2), ()), 1: ((), (0, 1), (2,))}
+
+
+def _up2_phase_kernels(k3: jax.Array):
+    """(3,3,ci,co) -> K0, K1 of (2,3,ci,2co) (see block comment)."""
+    ci, co = k3.shape[2], k3.shape[3]
+    ks = []
+    for q in (0, 1):
+        kq = jnp.zeros((2, 3, ci, 2 * co), k3.dtype)
+        for di, dhs in enumerate(_UP2_ROWS[q]):
+            for p in (0, 1):
+                for dj, dws in enumerate(_UP2_COLS[p]):
+                    for dh in dhs:
+                        for dw in dws:
+                            kq = kq.at[di, dj, :, p * co:(p + 1) * co].add(
+                                k3[dh, dw])
+        ks.append(kq)
+    return ks[0], ks[1]
+
+
+def conv3x3_on_up2_packed(b: jax.Array, k3: jax.Array,
+                          compute_dtype=None) -> jax.Array:
+    """conv3x3/s1/p1 of nearest_up2(b) directly into the packed fine rows.
+
+    b (N, Hc, Wc, Ci), k3 (3,3,Ci,Co) -> (N, 2*Hc*Wc, 2Co) packed
+    (fine H = 2*Hc, fine W/2 = Wc)."""
+    from jax import lax
+
+    n, hc, wc, ci = b.shape
+    co = k3.shape[3]
+    k0, k1 = _up2_phase_kernels(k3.astype(jnp.float32))
+    outs = []
+    for kq, pad_h in ((k0, (1, 0)), (k1, (0, 1))):
+        if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
+            b_c = b.astype(compute_dtype)
+            k_c = kq.astype(compute_dtype)
+            pet = None
+        else:
+            b_c, k_c, pet = b, kq, jnp.float32
+        dn = lax.conv_dimension_numbers(b_c.shape, k_c.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            b_c, k_c, (1, 1), (pad_h, (1, 1)), dimension_numbers=dn,
+            preferred_element_type=pet).astype(jnp.float32)
+        outs.append(y)
+    return jnp.stack(outs, axis=2).reshape(n, 2 * hc * wc, 2 * co)
