@@ -236,7 +236,12 @@ class TrainConfig:
         fusions win again at large per-chip batch)."""
         import jax
         if jax.default_backend() != "tpu":
-            return False
+            # Testing escape hatch (mirrors force_pallas): an explicit
+            # --packed_row0 together with --force_pallas engages the packed
+            # model off-TPU — the convs run their exact XLA twin — so the
+            # CPU-mesh tests and the driver dryrun exercise the production
+            # wiring.
+            return bool(self.force_pallas and self.packed_row0)
         ok = (self.gen.lower() == "unet++" and 2 * self.nf <= 128
               and self.split_concat and not self.space_to_depth
               and self.image_size % 2 == 0)
