@@ -125,7 +125,8 @@ def _conv_packed_xla(xp: jax.Array, k: jax.Array, h: int,
                                  blr[dh + 1].astype(cd),
                                  preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
-    return acc
+    # Match the Pallas kernel's output-dtype-follows-input contract.
+    return acc.astype(xp.dtype)
 
 
 def _rot_t(k: jax.Array) -> jax.Array:
@@ -233,7 +234,11 @@ def instance_norm_act_packed(p: PackedW, scale: Optional[jax.Array],
                              offset: Optional[jax.Array], act: Optional[str],
                              *, eps: float = 1e-5,
                              negative_slope: float = 0.2) -> PackedW:
-    yp = p.d
+    # The resident dtype follows the input (bf16-resident packed rows halve
+    # every HBM pass — see BASELINE.md round 3); statistics always
+    # accumulate in float32.
+    out_dtype = p.d.dtype
+    yp = p.d.astype(jnp.float32)
     n, hp, c2 = yp.shape
     c = c2 // 2
     s1 = jnp.sum(yp, axis=1)
@@ -254,7 +259,7 @@ def instance_norm_act_packed(p: PackedW, scale: Optional[jax.Array],
         z = jax.nn.relu(z)
     elif act == "leaky_relu":
         z = jax.nn.leaky_relu(z, negative_slope=negative_slope)
-    return PackedW(z, p.h)
+    return PackedW(z.astype(out_dtype), p.h)
 
 
 # ---------------------------------------------------------------------------
@@ -311,6 +316,11 @@ def conv2d_multi_packed(xs, kernel: jax.Array, *,
         off += c
     if bias is not None:
         out = out + jnp.tile(bias.astype(out.dtype), 2)[None, None, :]
+    # bf16 compute keeps the packed row RESIDENT in bf16: every row-0 HBM
+    # pass (conv in/out, norm in/out, VJP residuals) halves. Same-scale
+    # piece sums in bf16 cost ~1 ulp; stats/accumulators stay f32.
+    if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
+        out = out.astype(compute_dtype)
     return PackedW(out, h)
 
 

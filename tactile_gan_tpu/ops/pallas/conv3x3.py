@@ -422,7 +422,10 @@ def conv3x3_packed(xp: jax.Array, k: jax.Array, *, h: int,
     return pl.pallas_call(
         functools.partial(_kernel_packed, th=th, w2=w2,
                           compute_dtype=compute_dtype),
-        out_shape=jax.ShapeDtypeStruct((n, hp, 2 * co), jnp.float32),
+        # Output dtype follows the input: a bf16-resident packed row halves
+        # the HBM traffic of every dense tile (f32 stays the default; the
+        # f32 accumulator casts on the way out either way).
+        out_shape=jax.ShapeDtypeStruct((n, hp, 2 * co), xp.dtype),
         grid=grid,
         in_specs=[slab_spec, halo_spec(-1), halo_spec(th), b_spec, b_spec],
         out_specs=pl.BlockSpec((1, th * w2, 2 * co),
