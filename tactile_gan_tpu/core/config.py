@@ -20,6 +20,11 @@ import os
 from typing import List, Optional
 
 
+def jnp_is_f32(dtype_name: str) -> bool:
+    import jax.numpy as jnp
+    return jnp.dtype(dtype_name) == jnp.float32
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """All training hyper-parameters.
@@ -99,6 +104,13 @@ class TrainConfig:
     # 73.5 -> 69.5. Auto therefore engages ONLY on the XLA norm path at
     # per-chip batch <= 4.
     lane_pack: Optional[bool] = None
+    # bf16-resident deep rows (UNet++ rows 1-4, C>=128): conv outputs and
+    # norms keep the bf16 compute dtype between ops — dense bf16 tiles, so
+    # the halved HBM traffic wins (b16 XLA step 92.4 -> 99.3 img/s,
+    # BASELINE.md round 3; b4 was neutral). Tri-state: None = auto (on for
+    # the XLA-norm path under bf16 compute; the fused Pallas norms take
+    # f32); explicit flags force.
+    bf16_resident: Optional[bool] = None
     # Packed-resident row 0 (UNet++, ops/packed_row.py): the full-resolution
     # row lives in the w-pair packed layout — dense 128-lane tiles for the
     # cout=nf convs (custom Pallas kernel, 2.3x XLA on v5e) and packed-space
@@ -223,6 +235,21 @@ class TrainConfig:
         return (not self.effective_use_pallas(data_axis_size)
                 and self.per_chip_batch(data_axis_size) <= 4
                 and not self.effective_packed_row0(data_axis_size))
+
+    def effective_bf16_resident(self, data_axis_size: Optional[int] = None
+                                ) -> bool:
+        """bf16-resident deep rows: measured +7.4% on the b16 XLA path and
+        neutral at b4 (BASELINE.md round 3). Auto engages under bf16
+        compute exactly when the XLA norm path is selected (the fused
+        Pallas norm kernels take f32 input)."""
+        import jax
+        if self.bf16_resident is not None:
+            return self.bf16_resident
+        if jax.default_backend() != "tpu":
+            return False
+        if jnp_is_f32(self.compute_dtype):
+            return False
+        return not self.effective_use_pallas(data_axis_size)
 
     def effective_packed_row0(self, data_axis_size: Optional[int] = None
                               ) -> bool:
@@ -394,6 +421,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "checkpoints; TPU only). Default auto: on for the "
                         "XLA norm path at per-chip batch <= 4, off "
                         "elsewhere (measured, see BASELINE.md)")
+    p.add_argument("--bf16_resident", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="UNet++ perf: keep deep-row activations bf16 "
+                        "between ops (dense C>=128 tiles; default auto: on "
+                        "for the XLA-norm path under bf16 compute)")
     p.add_argument("--packed_row0", default=None,
                    action=argparse.BooleanOptionalAction,
                    help="UNet++ perf: keep the full-resolution row in the "

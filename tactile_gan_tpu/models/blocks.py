@@ -39,6 +39,11 @@ def apply_norm_act(
     (ops/pallas/instance_norm.py); otherwise XLA fuses the unfused form.
     """
     if use_pallas:
+        # The fused kernels take f32 input; a bf16-resident activation
+        # (ops/conv.py resident flag) upcasts here — the auto gates never
+        # combine the two, but forced flags must stay correct.
+        if x.dtype != jnp.float32:
+            x = x.astype(jnp.float32)
         return pallas_ops.instance_norm_act(
             x, scale, offset, act=act, negative_slope=negative_slope
         )
@@ -60,6 +65,10 @@ class Conv(nn.Module):
     use_bias: bool = True
     compute_dtype: jnp.dtype = jnp.float32
     lane_pack: bool = False
+    # Keep the low-precision compute dtype in the OUTPUT (bf16-resident
+    # activations): halves HBM traffic for dense C>=128 rows (BASELINE.md
+    # round 3). Off for narrow rows and wherever f32 between ops matters.
+    resident: bool = False
     # Emit the packed row-0 layout (ops/packed_row.py): requires a 3x3/s1/p1
     # conv with 2*features <= 128; inputs may be PackedW, Up2, or NHWC
     # pieces. Same parameters as the plain path — checkpoints are
@@ -101,10 +110,12 @@ class Conv(nn.Module):
             return conv2d_multi(
                 parts, k, stride=self.stride, padding=self.padding, bias=b,
                 compute_dtype=self.compute_dtype, lane_pack=self.lane_pack,
+                resident=self.resident,
             )
         return conv2d(
             x, k, stride=self.stride, padding=self.padding, bias=b,
             compute_dtype=self.compute_dtype, lane_pack=self.lane_pack,
+            resident=self.resident,
         )
 
 
@@ -169,13 +180,15 @@ class ConvNormRelu(nn.Module):
     use_pallas: bool = False
     lane_pack: bool = False
     packed: bool = False  # keep the activation in the packed row-0 layout
+    resident: bool = False  # bf16-resident activations (dense rows)
 
     @nn.compact
     def __call__(self, x):
         x = Conv(
             self.features, self.kernel_size, self.stride, self.padding,
             use_bias=self.use_bias, compute_dtype=self.compute_dtype,
-            lane_pack=self.lane_pack, packed_out=self.packed, name="conv",
+            lane_pack=self.lane_pack, packed_out=self.packed,
+            resident=self.resident, name="conv",
         )(x)
         return InstanceNorm(
             affine=self.affine_norm, act="relu", use_pallas=self.use_pallas,
@@ -244,6 +257,7 @@ class DoubleConvBlock(nn.Module):
     use_pallas: bool = False
     lane_pack: bool = False
     packed: bool = False  # packed row-0 layout in and out (ops/packed_row.py)
+    resident: bool = False  # bf16-resident activations (dense rows)
 
     @nn.compact
     def __call__(self, x):
@@ -252,7 +266,7 @@ class DoubleConvBlock(nn.Module):
                 self.features, use_bias=self.use_bias,
                 affine_norm=self.affine_norm, compute_dtype=self.compute_dtype,
                 use_pallas=self.use_pallas, lane_pack=self.lane_pack,
-                packed=self.packed, name=name,
+                packed=self.packed, resident=self.resident, name=name,
             )(x)
         return x
 

@@ -29,6 +29,7 @@ def create_generator(
     split_concat: bool = True,
     lane_pack: bool = False,
     packed_row0: bool = False,
+    bf16_resident: bool = False,
 ) -> nn.Module:
     kw = dict(output_dim=output_dim, nf=nf, activation=activation,
               compute_dtype=compute_dtype, use_pallas=use_pallas)
@@ -42,7 +43,8 @@ def create_generator(
     if key == "unet++":
         return UNetPlusPlus(space_to_depth=space_to_depth,
                             split_concat=split_concat, lane_pack=lane_pack,
-                            packed_row0=packed_row0, **kw)
+                            packed_row0=packed_row0,
+                            bf16_resident=bf16_resident, **kw)
     if key == "bcdunet":
         return BCDUNet(**kw)
     raise NameError(f"{name} not a valid generator")

@@ -46,6 +46,11 @@ class UNetPlusPlus(nn.Module):
     # (ops.conv2d_multi): numerically the same conv with the same parameters,
     # but the wide concat tensors never round-trip HBM.
     split_concat: bool = True
+    # bf16-resident DEEP rows (C >= 128: dense bf16 tiles): conv outputs and
+    # norms keep the compute dtype between ops, halving their HBM traffic
+    # (b16 XLA step 92.4 -> 99.3 img/s, BASELINE.md round 3). Auto-gated in
+    # config to the XLA-norm path (the fused Pallas norms take f32).
+    bf16_resident: bool = False
     # Keep the full-resolution row RESIDENT in the w-pair packed layout
     # (ops/packed_row.py): dense 128-lane tiles for the cout=nf<=64 convs
     # (Pallas kernel, 2.3x XLA on v5e) and free packed-space instance norms.
@@ -79,7 +84,9 @@ class UNetPlusPlus(nn.Module):
 
         def block(row, col, h):
             return DoubleConvBlock(widths[row], name=f"node{row}_{col}",
-                                   packed=(packed0 and row == 0), **kw)(h)
+                                   packed=(packed0 and row == 0),
+                                   resident=(self.bf16_resident and row > 0),
+                                   **kw)(h)
 
         def pool_row0(h):
             # Logical avg_pool2 of the folded row-0 tensor = mean over the

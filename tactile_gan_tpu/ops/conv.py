@@ -25,6 +25,15 @@ from jax import lax
 
 _DN = lax.conv_dimension_numbers  # cached builder below
 
+# Residency knob (scripts/probe_deep_bf16.py measured it; production
+# threads the per-call ``resident`` flag instead): when a conv is
+# "resident", its low-precision output keeps the compute dtype instead of
+# upcasting to f32 — bf16-resident activations for the DENSE (C>=128) deep
+# rows halve their HBM traffic (b16 XLA step 92.4 -> 99.3 img/s). The
+# narrow-C rows measured slower bf16-resident in round 1 (NHWC (16,128)
+# tile padding), but those are packed now (ops/packed_row.py).
+RESIDENT_COMPUTE_DTYPE = False
+
 
 def _pair(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
     return (v, v) if isinstance(v, int) else tuple(v)
@@ -115,6 +124,7 @@ def conv2d(
     bias: Optional[jax.Array] = None,
     compute_dtype: Optional[jnp.dtype] = None,
     lane_pack: bool = False,
+    resident: bool = False,
 ) -> jax.Array:
     """2-D convolution, x: [N,H,W,Cin], kernel: [kh,kw,Cin,Cout].
 
@@ -153,7 +163,7 @@ def conv2d(
     # activations between ops is the fast configuration. (Requesting an f32
     # preferred_element_type on bf16 operands instead would break the conv
     # transpose rule under jax.grad.)
-    if low_precision:
+    if low_precision and not (resident or RESIDENT_COMPUTE_DTYPE):
         out = out.astype(jnp.float32)
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -184,6 +194,7 @@ def conv2d_multi(
     bias: Optional[jax.Array] = None,
     compute_dtype: Optional[jnp.dtype] = None,
     lane_pack: bool = False,
+    resident: bool = False,
 ) -> jax.Array:
     """conv2d over a channel-concatenation WITHOUT materializing it.
 
@@ -236,6 +247,10 @@ def conv2d_multi(
         out = _unpack2_w(out, kernel.shape[3])
     if bias is not None:
         out = out + bias.astype(out.dtype)
+    # Residency: pieces accumulate in f32; one cast at the end.
+    if (resident and compute_dtype is not None
+            and jnp.dtype(compute_dtype) != jnp.float32):
+        out = out.astype(compute_dtype)
     return out
 
 
@@ -311,6 +326,7 @@ def conv2d_transpose(
     padding: Union[int, Tuple[int, int]] = 0,
     bias: Optional[jax.Array] = None,
     compute_dtype: Optional[jnp.dtype] = None,
+    resident: bool = False,
 ) -> jax.Array:
     """Transposed conv matching nn.ConvTranspose2d(k, stride, padding).
 
@@ -337,7 +353,7 @@ def conv2d_transpose(
         dimension_numbers=dn,
         preferred_element_type=None if low_precision else jnp.float32,
     )
-    if low_precision:
+    if low_precision and not (resident or RESIDENT_COMPUTE_DTYPE):
         out = out.astype(jnp.float32)
     if bias is not None:
         out = out + bias.astype(out.dtype)

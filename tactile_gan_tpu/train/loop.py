@@ -94,7 +94,9 @@ class Trainer:
             space_to_depth=cfg.space_to_depth,
             split_concat=cfg.split_concat,
             lane_pack=cfg.effective_lane_pack(data_axis_size=data_width),
-            packed_row0=cfg.effective_packed_row0(data_axis_size=data_width))
+            packed_row0=cfg.effective_packed_row0(data_axis_size=data_width),
+            bf16_resident=cfg.effective_bf16_resident(
+                data_axis_size=data_width))
         self.disc_model = create_discriminator(
             "patch", nf=cfg.nf, activation=cfg.activation,
             compute_dtype=compute_dtype,

@@ -199,3 +199,32 @@ def test_packed_row0_auto_gate(monkeypatch):
     assert TrainConfig(batch_size=4,
                        packed_row0=True).effective_packed_row0(
         data_axis_size=1) is False
+
+
+def test_bf16_resident_auto_gate(monkeypatch):
+    """Auto --bf16_resident: bf16 compute + the XLA-norm path (the fused
+    Pallas norms take f32), so it lands exactly on the b8/b16 defaults
+    where it measured +7.4% (BASELINE.md round 3)."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert TrainConfig(batch_size=16).effective_bf16_resident(
+        data_axis_size=1) is True
+    # b4 default selects the Pallas norms -> off.
+    assert TrainConfig(batch_size=4).effective_bf16_resident(
+        data_axis_size=1) is False
+    # ...but the XLA-norm b4 path gets it.
+    assert TrainConfig(batch_size=4, use_pallas=False).effective_bf16_resident(
+        data_axis_size=1) is True
+    # f32 compute never.
+    assert TrainConfig(batch_size=16,
+                       compute_dtype="float32").effective_bf16_resident(
+        data_axis_size=1) is False
+    # Explicit flags force either way.
+    assert TrainConfig(batch_size=4, bf16_resident=True
+                       ).effective_bf16_resident(data_axis_size=1) is True
+    assert TrainConfig(batch_size=16, bf16_resident=False
+                       ).effective_bf16_resident(data_axis_size=1) is False
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert TrainConfig(batch_size=16).effective_bf16_resident(
+        data_axis_size=1) is False
