@@ -51,11 +51,13 @@ def _build_step(batch, use_pallas, split_concat=True, space_to_depth=False,
     # XLA-norm non-packed path.
     lane_pack = cfg.effective_lane_pack(data_axis_size=1)
     packed_row0 = cfg.effective_packed_row0(data_axis_size=1)
+    bf16_resident = cfg.effective_bf16_resident(data_axis_size=1)
     gen = create_generator(cfg.gen, cfg.output_dim, cfg.nf, cfg.activation,
                            compute_dtype=jnp.bfloat16, use_pallas=use_pallas,
                            split_concat=split_concat,
                            space_to_depth=space_to_depth,
-                           lane_pack=lane_pack, packed_row0=packed_row0)
+                           lane_pack=lane_pack, packed_row0=packed_row0,
+                           bf16_resident=bf16_resident)
     disc = create_discriminator("patch", cfg.nf, cfg.activation,
                                 compute_dtype=jnp.bfloat16,
                                 use_pallas=use_pallas)
