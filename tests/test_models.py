@@ -329,3 +329,23 @@ def test_packed_row0_exact_equality():
         params)
     sens = worst(g0, jax.grad(loss0)(pert))
     assert worst(g0, g1) < max(1e-4, 3 * sens)
+
+
+def test_bf16_resident_close_to_plain_bf16():
+    """--bf16_resident keeps deep-row activations bf16 between ops: outputs
+    stay within bf16 rounding of the plain bf16-compute model (which
+    upcasts to f32 between ops), and gradients stay finite."""
+    from tactile_gan_tpu.models.factory import create_generator
+
+    rng = np.random.default_rng(13)
+    xin = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    g0 = create_generator("UNet++", 3, 8, True, compute_dtype=jnp.bfloat16)
+    g1 = create_generator("UNet++", 3, 8, True, compute_dtype=jnp.bfloat16,
+                          bf16_resident=True)
+    params = g0.init(jax.random.key(0), xin)
+    y0 = g0.apply(params, xin)
+    y1 = g1.apply(params, xin)
+    assert y1.dtype == jnp.float32  # the head always emits f32
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=0.05)
+    g = jax.grad(lambda p: jnp.mean((g1.apply(p, xin) - 0.5) ** 2))(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
