@@ -135,6 +135,10 @@ class TrainConfig:
     # warp was measured and REJECTED (31.5 img/s at b4: it holds the GIL
     # and starves step dispatch); see BASELINE.md.
     host_aug: bool = True
+    # RAM-cache decoded images across epochs (identical PNG/TIFF decode work
+    # every epoch otherwise; ~200 KB/pair at 256²). --no-cache_decoded for
+    # datasets larger than host memory.
+    cache_decoded: bool = True
     profile_dir: str = ""  # dump a jax.profiler (xplane) trace of epoch 1 here
     debug_nans: bool = False  # jax_debug_nans + per-epoch non-finite guard
     # Periodic-checkpoint backend. 'native' = reference-compatible msgpack
@@ -444,6 +448,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "inside the jitted step (default on: b4 39->49 "
                         "img/s measured; --no-host_aug restores the "
                         "on-device path)")
+    p.add_argument("--cache_decoded", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="RAM-cache decoded images across epochs "
+                        "(--no-cache_decoded for datasets larger than host "
+                        "memory)")
     p.add_argument("--profile_dir", default="",
                    help="dump a jax.profiler trace of the first epoch here")
     p.add_argument("--ckpt_backend", default="native",

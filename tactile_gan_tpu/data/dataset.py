@@ -29,19 +29,30 @@ class PairedDataset:
     """Map-style paired dataset of (source RGB, tactile target) uint8 arrays."""
 
     def __init__(self, img_dir: str, size: int = 256, mode: str = "train",
-                 aug: bool = False, target: str = "rgb"):
+                 aug: bool = False, target: str = "rgb",
+                 cache_decoded: bool = True):
         self.img_dir = img_dir
         self.size = size
         self.mode = mode
         self.aug = aug and mode == "train"
         self.target = target
         self.images: List[str] = list_images(img_dir)
+        # Decoded-pair RAM cache: PNG/TIFF decode repeats identically every
+        # epoch (the reference's DataLoader re-decodes too); ~200 KB/pair at
+        # 256² means ~300 MB for a reference-sized dataset. --no-cache_decoded
+        # for datasets that do not fit host RAM.
+        self.cache_decoded = cache_decoded
+        self._cache: dict = {}
 
     def __len__(self) -> int:
         return len(self.images)
 
     def load_pair(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (source, target) HWC uint8."""
+        if self.cache_decoded:
+            hit = self._cache.get(i)
+            if hit is not None:
+                return hit
         source = np.asarray(Image.open(self.images[i]).convert("RGB"))
         paths = tactile_paths_for(self.images[i], self.target)
         try:
@@ -57,6 +68,10 @@ class PairedDataset:
             raise FileNotFoundError(
                 f"missing tactile component(s) for {self.images[i]}: {paths}"
             ) from e
+        if self.cache_decoded:
+            # dict writes are atomic under the GIL; worst case two decode
+            # threads race and one result wins — both are identical.
+            self._cache[i] = (source, tactile)
         return source, tactile
 
     # ------------------------------------------------------------------
@@ -149,4 +164,5 @@ class PairedDataset:
 def get_dataset(img_dir: str, opt, mode: str = "train") -> PairedDataset:
     """Factory matching /root/reference/datasets/datasets.py:3-6."""
     return PairedDataset(img_dir, size=getattr(opt, "image_size", 256),
-                         mode=mode, aug=not opt.no_aug, target=opt.target)
+                         mode=mode, aug=not opt.no_aug, target=opt.target,
+                         cache_decoded=getattr(opt, "cache_decoded", True))

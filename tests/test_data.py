@@ -334,3 +334,32 @@ def test_warp_pil_matches_float_reference():
                                  nearest=True).astype(np.uint8)
         got_n = host_aug.warp_pil(img, mat, nearest=True)
         assert (got_n == ref_n).mean() > 0.99
+
+
+def test_decoded_cache_returns_identical_pairs(tmp_path):
+    """--cache_decoded: epoch 2 reads the RAM cache (decode happens once);
+    results are identical, and --no-cache_decoded re-decodes."""
+    from tactile_gan_tpu.data.dataset import PairedDataset
+
+    sdir = tmp_path / "source"
+    tdir = tmp_path / "tactile"
+    sdir.mkdir(), tdir.mkdir()
+    rng = np.random.default_rng(0)
+    from PIL import Image
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+                        ).save(sdir / f"s_{i}.png")
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+                        ).save(tdir / f"t_{i}.tiff")
+
+    ds = PairedDataset(str(sdir), mode="train", cache_decoded=True)
+    first = [ds.load_pair(i) for i in range(3)]
+    assert len(ds._cache) == 3
+    again = [ds.load_pair(i) for i in range(3)]
+    for (a0, b0), (a1, b1) in zip(first, again):
+        assert a0 is a1 and b0 is b1  # cache hits, not re-decodes
+
+    ds2 = PairedDataset(str(sdir), mode="train", cache_decoded=False)
+    a = ds2.load_pair(0)
+    assert len(ds2._cache) == 0
+    np.testing.assert_array_equal(a[0], first[0][0])
