@@ -1,7 +1,8 @@
 #!/bin/bash
 # Headline-config quality run on the synthetic chart set: UNet++ nf=64 b4
 # 256², version-2 losses + GP, 30 epochs, then evaluate. Reproduces the
-# BASELINE.md quality record (round 2: Dice 0.991 / acc 0.980).
+# BASELINE.md quality record (round 3: Dice 0.9956 / acc 0.993 at b4;
+# 0.9905 at b16).
 set -euo pipefail
 WORK=${WORK:-/tmp/quality_run}
 REPO=$(cd "$(dirname "$0")/.." && pwd)

@@ -69,6 +69,12 @@ class PairedDataset:
                 f"missing tactile component(s) for {self.images[i]}: {paths}"
             ) from e
         if self.cache_decoded:
+            # Freeze the cached arrays: every consumer across epochs gets the
+            # SAME ndarrays (flip views / warp / stack all copy today), so an
+            # accidental future in-place edit must raise instead of silently
+            # corrupting the dataset for all later epochs (ADVICE r3).
+            source.setflags(write=False)
+            tactile.setflags(write=False)
             # dict writes are atomic under the GIL; worst case two decode
             # threads race and one result wins — both are identical.
             self._cache[i] = (source, tactile)

@@ -142,6 +142,12 @@ def conv2d(
         out = _unpack2_w(y, co)
         if bias is not None:
             out = out + bias.astype(out.dtype)
+        # Honor the residency contract on this early return too (ADVICE r3):
+        # lane-packed conv outputs otherwise stayed f32 even when the caller
+        # asked for bf16-resident activations.
+        if (resident and compute_dtype is not None
+                and jnp.dtype(compute_dtype) != jnp.float32):
+            out = out.astype(compute_dtype)
         return out
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)

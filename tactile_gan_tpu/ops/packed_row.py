@@ -32,9 +32,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from tactile_gan_tpu.ops.pallas.conv3x3 import (
-    _build_b, conv3x3_packed, supported,
-)
+from tactile_gan_tpu.ops.pallas.conv3x3 import _build_b, conv3x3_packed
 
 
 class PackedW(NamedTuple):

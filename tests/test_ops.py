@@ -182,6 +182,35 @@ def test_packed_conv3x3_matches_lax_conv():
                                    atol=5e-4, rtol=1e-3)
 
 
+def test_packed_mosaic_kernel_matches_xla_twin():
+    """ops/pallas/conv3x3.py: the conv3x3_packed MOSAIC kernel itself (via
+    the Mosaic interpreter — the CPU suite otherwise only exercises the
+    _conv_packed_xla backend branch of _packed_fwd_impl) equals the exact
+    XLA twin on production row-0 lane geometry (2C = 2Co = 128). A
+    kernel-side regression would otherwise surface only through end-to-end
+    TPU quality runs (ADVICE r3)."""
+    from tactile_gan_tpu.ops.pallas.conv3x3 import conv3x3_packed
+    from tactile_gan_tpu.ops.packed_row import _conv_packed_xla, pack_w
+
+    rng = np.random.default_rng(11)
+    C = Co = 64  # the production row-0 widths (nf=64)
+    for (N, H, W), dtype in [((1, 16, 16), np.float32),
+                             ((2, 8, 12), np.float32),
+                             ((1, 16, 16), jnp.bfloat16)]:
+        x = rng.normal(size=(N, H, W, C)).astype(np.float32)
+        k = rng.normal(size=(3, 3, C, Co)).astype(np.float32) * 0.1
+        xp = pack_w(jnp.asarray(x).astype(dtype)).d
+        kj = jnp.asarray(k)
+        want = _conv_packed_xla(xp, kj, H, jnp.float32)
+        got = conv3x3_packed(xp, kj, h=H, interpret=True,
+                             compute_dtype=jnp.float32)
+        assert got.dtype == xp.dtype  # output dtype follows the input
+        tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=tol, rtol=1e-3)
+
+
 def test_instance_norm_act_packed_matches_plain():
     """Packed-space IN (+relu) equals the NHWC instance_norm on the same
     data (single-pass sumsq stats vs two-pass: fp-noise only)."""
