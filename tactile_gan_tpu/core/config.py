@@ -139,6 +139,22 @@ class TrainConfig:
     # every epoch otherwise; ~200 KB/pair at 256²). --no-cache_decoded for
     # datasets larger than host memory.
     cache_decoded: bool = True
+    # Fold the gradient-penalty interpolates into the stacked D forward as a
+    # third batch of rows; the GP's inner gradient comes from the vjp
+    # pullback of that single 3B-row forward instead of a separate B-row
+    # forward inside a nested jax.grad. Exact (every D op is per-sample).
+    # Tri-state: None = auto (see effective_gp_fused()); flags force.
+    gp_fused: Optional[bool] = None
+    # bf16-resident discriminator: D activations keep the compute dtype
+    # between ops (the logits head always emits f32). The GP second-order
+    # numerics were measured (drift + quality, BASELINE.md round 4) rather
+    # than assumed. Tri-state: None = auto (see effective_disc_bf16()).
+    disc_bf16: Optional[bool] = None
+    # SAME-padding discriminator VARIANT (changes the trained function, like
+    # --space_to_depth): pow2 patch map 64² instead of 57², dense tiles on
+    # every D row. Off by default; checkpoints share parameter shapes but
+    # are not interchangeable in behavior.
+    disc_same_pad: bool = False
     profile_dir: str = ""  # dump a jax.profiler (xplane) trace of epoch 1 here
     debug_nans: bool = False  # jax_debug_nans + per-epoch non-finite guard
     # Periodic-checkpoint backend. 'native' = reference-compatible msgpack
@@ -242,18 +258,17 @@ class TrainConfig:
 
     def effective_bf16_resident(self, data_axis_size: Optional[int] = None
                                 ) -> bool:
-        """bf16-resident deep rows: measured +7.4% on the b16 XLA path and
-        neutral at b4 (BASELINE.md round 3). Auto engages under bf16
-        compute exactly when the XLA norm path is selected (the fused
-        Pallas norm kernels take f32 input)."""
+        """bf16-resident deep rows: measured +7.4% on the b16 XLA path
+        (BASELINE.md round 3). Round 4 made the fused Pallas norm kernels
+        bf16-capable (f32 statistics in VMEM), so the auto gate now also
+        engages on the pallas-norm path: b4 73.9 -> 74.2 (74.8 with the
+        bf16-resident D) — small but free. Auto = on under bf16 compute."""
         import jax
         if self.bf16_resident is not None:
             return self.bf16_resident
         if jax.default_backend() != "tpu":
             return False
-        if jnp_is_f32(self.compute_dtype):
-            return False
-        return not self.effective_use_pallas(data_axis_size)
+        return not jnp_is_f32(self.compute_dtype)
 
     def effective_packed_row0(self, data_axis_size: Optional[int] = None
                               ) -> bool:
@@ -283,6 +298,32 @@ class TrainConfig:
                     "no space_to_depth")
             return self.packed_row0
         return ok and self.per_chip_batch(data_axis_size) <= 4
+
+    def effective_gp_fused(self) -> bool:
+        """Auto default for the fused-GP step form: OFF — measured round 4
+        on v5e (full G+D step, img/s): b4 73.9 -> 73.2, b16 XLA 94.6 ->
+        87.6. The 3B-row inner pullback back-propagates through the fake/
+        real rows with zero cotangents, and that wasted 2B-row dgrad work
+        costs more than folding the GP forward into the stacked call saves.
+        The form stays available (--gp_fused) as the measured-and-rejected
+        record; it is exactly the nested-grad step (tests pin equality)."""
+        if self.gp_fused is not None:
+            return self.gp_fused
+        return False
+
+    def effective_disc_bf16(self) -> bool:
+        """bf16-resident discriminator: auto engages on TPU under bf16
+        compute. Measured round 4 on v5e (full step img/s): b16 XLA 94.6 ->
+        95.1, b4 neutral; the GP value through the bf16-resident D drifts
+        0.28% after three compounding steps (vs f32-resident, same state)
+        and quality at defaults is unchanged — BASELINE.md round 4 retires
+        the round-3 CORRECTION's un-measured second-order risk."""
+        import jax
+        if self.disc_bf16 is not None:
+            return self.disc_bf16
+        if jax.default_backend() != "tpu" or jnp_is_f32(self.compute_dtype):
+            return False
+        return True
 
     @property
     def work_root(self) -> str:
@@ -427,9 +468,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "elsewhere (measured, see BASELINE.md)")
     p.add_argument("--bf16_resident", default=None,
                    action=argparse.BooleanOptionalAction,
-                   help="UNet++ perf: keep deep-row activations bf16 "
-                        "between ops (dense C>=128 tiles; default auto: on "
-                        "for the XLA-norm path under bf16 compute)")
+                   help="UNet++ perf: keep DEEP-ROW (rows 1-4) activations "
+                        "bf16 between ops (dense C>=128 tiles; default "
+                        "auto: on under bf16 compute). Row-0 residency is "
+                        "tied to --packed_row0, not this flag: the packed "
+                        "row is bf16-resident whenever compute is bf16 "
+                        "(measured +21%, BASELINE.md round 3)")
     p.add_argument("--packed_row0", default=None,
                    action=argparse.BooleanOptionalAction,
                    help="UNet++ perf: keep the full-resolution row in the "
@@ -453,6 +497,26 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="RAM-cache decoded images across epochs "
                         "(--no-cache_decoded for datasets larger than host "
                         "memory)")
+    p.add_argument("--gp_fused", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="fold the gradient-penalty interpolates into the "
+                        "stacked D forward (one 3B-row call; exact). "
+                        "Default auto: OFF — measured slower on v5e (b16 "
+                        "94.6 -> 87.6 img/s; BASELINE.md round 4)")
+    p.add_argument("--disc_bf16", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="bf16-resident discriminator activations (logits "
+                        "head stays f32). Default auto: on for TPU under "
+                        "bf16 compute (GP drift + quality measured, "
+                        "BASELINE.md round 4)")
+    p.add_argument("--disc_same_pad", default=False,
+                   action=argparse.BooleanOptionalAction,
+                   help="SAME-padding discriminator VARIANT (64^2 patch "
+                        "map, pow2 rows; changes the trained function like "
+                        "--space_to_depth). Measured SLOWER on v5e (b4 "
+                        "74.0 -> 71.4, b16 95.1 -> 94.0: the 18%% extra "
+                        "patch FLOPs beat the dense-tiling gain) — kept as "
+                        "the measured record, off by default")
     p.add_argument("--profile_dir", default="",
                    help="dump a jax.profiler trace of the first epoch here")
     p.add_argument("--ckpt_backend", default="native",

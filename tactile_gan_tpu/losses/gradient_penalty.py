@@ -20,6 +20,37 @@ import jax
 import jax.numpy as jnp
 
 
+def gp_interpolates(
+    real_mask: jax.Array,
+    fake_mask: jax.Array,
+    key: jax.Array,
+    version: int = 2,
+    gp_type: str = "mixed",
+) -> jax.Array:
+    """The point the penalty differentiates at (util.py:76-84); alpha is
+    per batch element, remapped to U[0.5,1] for version 2."""
+    if gp_type == "real":
+        return real_mask
+    if gp_type == "fake":
+        return fake_mask
+    if gp_type == "mixed":
+        b = real_mask.shape[0]
+        alpha = jax.random.uniform(key, (b, 1, 1, 1), jnp.float32)
+        if version == 2:
+            alpha = (alpha + 1.0) / 2.0
+        return alpha * real_mask + (1.0 - alpha) * fake_mask
+    raise NotImplementedError(f"{gp_type} not implemented")
+
+
+def gp_penalty(grads: jax.Array, constant: float = 1.0,
+               lambda_gp: float = 1.0) -> jax.Array:
+    """mean((||grad per sample|| - constant)^2) with the reference's +1e-16
+    (util.py:88-93)."""
+    flat = (grads + 1e-16).reshape(grads.shape[0], -1)
+    norms = jnp.linalg.norm(flat, axis=1)
+    return jnp.mean(jnp.square(norms - constant)) * lambda_gp
+
+
 def gradient_penalty(
     disc_fn: Callable[[jax.Array, jax.Array], jax.Array],
     real_img: jax.Array,
@@ -33,25 +64,16 @@ def gradient_penalty(
 ) -> jax.Array:
     """disc_fn(img, mask) -> patch logits. Returns the scalar penalty.
 
-    All tensors NHWC; alpha is sampled per batch element.
+    All tensors NHWC; alpha is sampled per batch element. The train step's
+    fused variant (train/step.py ``gp_fused``) computes the identical
+    penalty from a vjp pullback of the stacked 3B-row D forward instead —
+    both build on gp_interpolates / gp_penalty so they cannot drift apart.
     """
-    if gp_type == "real":
-        interpolates = real_mask
-    elif gp_type == "fake":
-        interpolates = fake_mask
-    elif gp_type == "mixed":
-        b = real_mask.shape[0]
-        alpha = jax.random.uniform(key, (b, 1, 1, 1), jnp.float32)
-        if version == 2:
-            alpha = (alpha + 1.0) / 2.0
-        interpolates = alpha * real_mask + (1.0 - alpha) * fake_mask
-    else:
-        raise NotImplementedError(f"{gp_type} not implemented")
+    interpolates = gp_interpolates(real_mask, fake_mask, key, version,
+                                   gp_type)
 
     def d_sum(interp):
         return jnp.sum(disc_fn(real_img, interp).astype(jnp.float32))
 
     grads = jax.grad(d_sum)(interpolates)
-    flat = (grads + 1e-16).reshape(real_mask.shape[0], -1)
-    norms = jnp.linalg.norm(flat, axis=1)
-    return jnp.mean(jnp.square(norms - constant)) * lambda_gp
+    return gp_penalty(grads, constant, lambda_gp)

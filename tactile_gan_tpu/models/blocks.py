@@ -39,10 +39,11 @@ def apply_norm_act(
     (ops/pallas/instance_norm.py); otherwise XLA fuses the unfused form.
     """
     if use_pallas:
-        # The fused kernels take f32 input; a bf16-resident activation
-        # (ops/conv.py resident flag) upcasts here — the auto gates never
-        # combine the two, but forced flags must stay correct.
-        if x.dtype != jnp.float32:
+        # The fused kernels are dtype-generic on the activation side (round
+        # 4): statistics always accumulate in f32 in VMEM scratch; a
+        # bf16-resident input stays bf16 through the kernel I/O (halved HBM
+        # traffic on dense tiles). Anything else upcasts to f32.
+        if x.dtype not in (jnp.float32, jnp.bfloat16):
             x = x.astype(jnp.float32)
         return pallas_ops.instance_norm_act(
             x, scale, offset, act=act, negative_slope=negative_slope

@@ -56,9 +56,12 @@ def create_discriminator(
     activation: bool = True,
     compute_dtype: jnp.dtype = jnp.float32,
     use_pallas: bool = False,
+    resident: bool = False,
+    same_pad: bool = False,
 ) -> nn.Module:
     if name.lower() == "patch":
         return PatchDiscriminator(nf=nf, activation=activation,
                                   compute_dtype=compute_dtype,
-                                  use_pallas=use_pallas)
+                                  use_pallas=use_pallas, resident=resident,
+                                  same_pad=same_pad)
     raise NameError(f"{name} not a valid discriminator")

@@ -46,10 +46,14 @@ class UNetPlusPlus(nn.Module):
     # (ops.conv2d_multi): numerically the same conv with the same parameters,
     # but the wide concat tensors never round-trip HBM.
     split_concat: bool = True
-    # bf16-resident DEEP rows (C >= 128: dense bf16 tiles): conv outputs and
-    # norms keep the compute dtype between ops, halving their HBM traffic
-    # (b16 XLA step 92.4 -> 99.3 img/s, BASELINE.md round 3). Auto-gated in
-    # config to the XLA-norm path (the fused Pallas norms take f32).
+    # bf16-resident rows: conv outputs and norms keep the compute dtype
+    # between ops, halving their HBM traffic. Round 3 shipped it for the
+    # deep rows only (b16 XLA step 92.4 -> 99.3); round 4 extended it to
+    # ROW 0 as well (the round-1 "narrow-C bf16 slower" result predated the
+    # split_concat/up-conv rewrites — re-measured b16 XLA 95.1 -> 99.5) and
+    # made the fused Pallas norms bf16-capable so it composes with the b4
+    # pallas path too. A packed row 0 ignores this flag (the packed layout
+    # is bf16-resident whenever compute is bf16, its own measured contract).
     bf16_resident: bool = False
     # Keep the full-resolution row RESIDENT in the w-pair packed layout
     # (ops/packed_row.py): dense 128-lane tiles for the cout=nf<=64 convs
@@ -85,7 +89,7 @@ class UNetPlusPlus(nn.Module):
         def block(row, col, h):
             return DoubleConvBlock(widths[row], name=f"node{row}_{col}",
                                    packed=(packed0 and row == 0),
-                                   resident=(self.bf16_resident and row > 0),
+                                   resident=self.bf16_resident,
                                    **kw)(h)
 
         def pool_row0(h):

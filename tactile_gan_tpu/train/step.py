@@ -37,7 +37,9 @@ from tactile_gan_tpu.core import rng as rng_streams
 from tactile_gan_tpu.core.config import TrainConfig
 from tactile_gan_tpu.data.augment import preprocess_batch
 from tactile_gan_tpu.losses.gan_loss import gan_loss
-from tactile_gan_tpu.losses.gradient_penalty import gradient_penalty
+from tactile_gan_tpu.losses.gradient_penalty import (
+    gp_interpolates, gp_penalty, gradient_penalty,
+)
 from tactile_gan_tpu.losses.perceptual import l1_loss, pan_loss, vgg_perceptual_loss
 from tactile_gan_tpu.train.state import TrainState
 
@@ -67,6 +69,7 @@ def build_train_step(
     augment = not cfg.no_aug and not cfg.host_aug
     mode = cfg.loss
     smoothing = cfg.label_smoothing
+    gp_fused = cfg.effective_gp_fused()
 
     def disc_logits(d_params, img, mask):
         logits, _ = disc_model.apply(d_params, img, mask)
@@ -106,26 +109,60 @@ def build_train_step(
             # the batch axis is exact and feeds the MXU twice the work per
             # kernel (the reference runs two separate forwards,
             # /root/reference/train.py:110-111).
-            stacked_pred, _ = disc_model.apply(
-                d_params,
-                jnp.concatenate([real_a, real_a], axis=0),
-                jnp.concatenate([jax.lax.stop_gradient(fake_b), real_b],
-                                axis=0))
+            fake_det = jax.lax.stop_gradient(fake_b)
+            want_gp = apply_gp and cfg.lambda_gp != 0
+            if want_gp and gp_fused:
+                # Fused-GP form: the interpolates ride the SAME stacked D
+                # forward as fake/real (a third batch of rows), and the GP's
+                # inner gradient comes from the vjp pullback of that one
+                # forward — one 3B-row conv chain instead of a 2B-row chain
+                # plus a separate B-row chain inside jax.grad. Exact: every
+                # discriminator op is per-sample, so each row's logits (and
+                # the pullback restricted to the interp rows, whose
+                # cotangent is the gp's d sum(D)/d logits = 1) are
+                # identical to the unfused form's. Second-order (the outer
+                # grad wrt d_params) differentiates through the pullback
+                # exactly like the nested-jax.grad form.
+                interp = gp_interpolates(real_b, fake_det, k_gp,
+                                         version=cfg.version)
+                stacked_img = jnp.concatenate([real_a, real_a, real_a],
+                                              axis=0)
+                stacked_mask = jnp.concatenate([fake_det, real_b, interp],
+                                               axis=0)
+
+                def fwd_mask(m):
+                    out, _ = disc_model.apply(d_params, stacked_img, m)
+                    return out.astype(jnp.float32)
+
+                stacked_pred, pullback = jax.vjp(fwd_mask, stacked_mask)
+                cot = jnp.concatenate(
+                    [jnp.zeros((2 * batch,) + stacked_pred.shape[1:],
+                               stacked_pred.dtype),
+                     jnp.ones((batch,) + stacked_pred.shape[1:],
+                              stacked_pred.dtype)], axis=0)
+                (grad_mask,) = pullback(cot)
+                gp = gp_penalty(grad_mask[2 * batch:],
+                                lambda_gp=cfg.lambda_gp)
+            else:
+                stacked_pred, _ = disc_model.apply(
+                    d_params,
+                    jnp.concatenate([real_a, real_a], axis=0),
+                    jnp.concatenate([fake_det, real_b], axis=0))
+                if want_gp:
+                    gp = gradient_penalty(
+                        functools.partial(disc_logits, d_params),
+                        real_a, real_b, fake_det, k_gp,
+                        version=cfg.version, lambda_gp=cfg.lambda_gp)
+                else:
+                    gp = jnp.float32(0.0)
             pred_fake = stacked_pred[:batch]
-            pred_real = stacked_pred[batch:]
+            pred_real = stacked_pred[batch:2 * batch]
             loss_fake = gan_loss(pred_fake, False, mode=mode,
                                  for_discriminator=True)
             loss_real = gan_loss(pred_real, True, mode=mode,
                                  for_discriminator=True,
                                  label_smoothing=smoothing, key=k_label)
             loss_d = (loss_fake + loss_real) / 2.0
-            if apply_gp and cfg.lambda_gp != 0:
-                gp = gradient_penalty(
-                    functools.partial(disc_logits, d_params),
-                    real_a, real_b, jax.lax.stop_gradient(fake_b), k_gp,
-                    version=cfg.version, lambda_gp=cfg.lambda_gp)
-            else:
-                gp = jnp.float32(0.0)
             return loss_d + gp, (loss_d, gp)
 
         (_, (loss_d, gp)), d_grads = jax.value_and_grad(
@@ -138,7 +175,23 @@ def build_train_step(
         # Differentiate the G objective wrt the generator *output*, then pull
         # back through the single saved forward.
         def g_loss_fn(fake):
-            pred_fake, feats_fake = disc_model.apply(d_params, real_a, fake)
+            want_pan = cfg.lambda_per != 0 and cfg.version == 2
+            if want_pan:
+                # Version 2 needs D features of the REAL pair too
+                # (train.py:156). Stack it into the same D forward as the
+                # fake — per-sample ops make the 2B-row call exact, and the
+                # MXU sees one chain of double-width convs instead of two
+                # half-filled ones.
+                stacked_pred, stacked_feats = disc_model.apply(
+                    d_params,
+                    jnp.concatenate([real_a, real_a], axis=0),
+                    jnp.concatenate([fake, real_b], axis=0))
+                pred_fake = stacked_pred[:batch]
+                feats_fake = tuple(f[:batch] for f in stacked_feats)
+                feats_real = tuple(f[batch:] for f in stacked_feats)
+            else:
+                pred_fake, feats_fake = disc_model.apply(d_params, real_a,
+                                                         fake)
             loss_gan = gan_loss(pred_fake, True, mode=mode,
                                 for_discriminator=False,
                                 label_smoothing=smoothing, key=k_label)
@@ -152,7 +205,6 @@ def build_train_step(
                         vgg_apply, vgg_params, real_b, fake,
                         weights=cfg.w_per) * cfg.lambda_per
                 else:
-                    _, feats_real = disc_model.apply(d_params, real_a, real_b)
                     if detach_pan_features:
                         feats_fake_used = jax.tree.map(jax.lax.stop_gradient,
                                                        feats_fake)

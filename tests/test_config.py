@@ -202,18 +202,17 @@ def test_packed_row0_auto_gate(monkeypatch):
 
 
 def test_bf16_resident_auto_gate(monkeypatch):
-    """Auto --bf16_resident: bf16 compute + the XLA-norm path (the fused
-    Pallas norms take f32), so it lands exactly on the b8/b16 defaults
-    where it measured +7.4% (BASELINE.md round 3)."""
+    """Auto --bf16_resident: on under bf16 compute on TPU. Round 4 made the
+    fused Pallas norms bf16-capable, so the pallas-norm b4 default engages
+    it too (b4 73.9 -> 74.8 with the resident D, BASELINE.md round 4)."""
     import jax
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert TrainConfig(batch_size=16).effective_bf16_resident(
         data_axis_size=1) is True
-    # b4 default selects the Pallas norms -> off.
+    # Round 4: the pallas-norm b4 default now engages it as well.
     assert TrainConfig(batch_size=4).effective_bf16_resident(
-        data_axis_size=1) is False
-    # ...but the XLA-norm b4 path gets it.
+        data_axis_size=1) is True
     assert TrainConfig(batch_size=4, use_pallas=False).effective_bf16_resident(
         data_axis_size=1) is True
     # f32 compute never.

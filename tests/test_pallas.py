@@ -81,6 +81,44 @@ def test_fused_kernel_fallback_non_pow2(caplog):
     assert len(hits) == 1  # logged once, not per call
 
 
+def test_fused_kernel_bf16_gradients_match_xla():
+    """Round 4: bf16 kernel I/O with f32 VMEM statistics — the backward
+    kernel runs on the bf16 row views too. Gradients must match the f32 XLA
+    reference within bf16 rounding of the activations."""
+    x32 = RNG.normal(size=(2, 8, 8, 16)).astype(np.float32)
+    x = jnp.array(x32, jnp.bfloat16)
+    scale = jnp.array(RNG.normal(size=(16,)).astype(np.float32))
+    offset = jnp.array(RNG.normal(size=(16,)).astype(np.float32))
+
+    def loss_pallas(x, s, o):
+        y = instance_norm_act(x, s, o, act="relu")
+        assert y.dtype == jnp.bfloat16
+        return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
+    def loss_xla(x32, s, o):
+        return jnp.sum(jnp.square(_ref(x32, s, o, "relu")))
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, scale, offset)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(jnp.array(x32), scale, offset)
+    assert g1[0].dtype == jnp.bfloat16
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b), atol=0.15, rtol=0.05)
+
+
+def test_apply_norm_act_keeps_bf16_resident():
+    """blocks.apply_norm_act no longer upcasts bf16 inputs before the fused
+    kernel (deep-row bf16 residency composes with the Pallas-norm path)."""
+    from tactile_gan_tpu.models.blocks import apply_norm_act
+
+    x = jnp.array(RNG.normal(size=(1, 8, 8, 16)).astype(np.float32),
+                  jnp.bfloat16)
+    scale = jnp.ones((16,), jnp.float32)
+    offset = jnp.zeros((16,), jnp.float32)
+    y = apply_norm_act(x, scale, offset, "relu", use_pallas=True)
+    assert y.dtype == jnp.bfloat16
+
+
 def test_fused_kernel_gradients_match_xla():
     x = jnp.array(RNG.normal(size=(2, 8, 8, 16)).astype(np.float32))
     scale = jnp.array(RNG.normal(size=(16,)).astype(np.float32))
