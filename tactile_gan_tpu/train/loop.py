@@ -100,7 +100,9 @@ class Trainer:
         self.disc_model = create_discriminator(
             "patch", nf=cfg.nf, activation=cfg.activation,
             compute_dtype=compute_dtype,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas,
+            resident=cfg.effective_disc_bf16(),
+            same_pad=cfg.disc_same_pad)
 
         vgg_apply = vgg_params = None
         self.vgg_random_fallback = False
@@ -234,7 +236,25 @@ class Trainer:
         # Per-epoch loss curves (reference train.py:64-68).
         self.gen_loss, self.disc_loss = [], []
         self.l1_loss, self.per_loss, self.gp_loss = [], [], []
+        # Wall-clock per epoch (epoch 0 includes the step compile); bench.py
+        # reads this for the end-to-end epochs metric.
+        self.epoch_seconds = []
         self._async_ckpt = AsyncCheckpointer()
+        # H2D staging thread: through the axon relay jax.device_put BLOCKS
+        # the calling thread for the full transfer (~110 ms for a 6 MB b16
+        # batch — measured, scripts/probe_e2e.py round 4), which serialized
+        # with the step dispatch and made the host the epoch bottleneck.
+        # A 1-worker pool moves that block off the main thread so the
+        # transfer of batch k+1 rides under the device's step k.
+        import concurrent.futures as _cf
+        self._h2d = _cf.ThreadPoolExecutor(max_workers=1,
+                                           thread_name_prefix="h2d")
+        # One device-side stack of the epoch's per-step metrics: device_get
+        # of a LIST of scalars costs one relay round-trip per buffer
+        # (5 scalars x steps = ~1 s/epoch at b16 — probe_e2e round 4);
+        # stacking first makes it one transfer.
+        self._stack_metrics = jax.jit(
+            lambda ms: jnp.stack([jnp.stack(tuple(m)) for m in ms]))
 
     # ------------------------------------------------------------------
 
@@ -277,26 +297,32 @@ class Trainer:
                         threads=cfg.threads, local_rows=self._local_rows,
                         host_augment=host_aug,
                         augment_seed=cfg.seed + 7919 * epoch):
-                    nxt = self._put_batch(src_u8, tgt_u8)
+                    nxt = self._h2d.submit(self._put_batch, src_u8, tgt_u8)
                     if staged is not None:
-                        self.state, m = self.step_fn(self.state, *staged,
+                        self.state, m = self.step_fn(self.state,
+                                                     *staged.result(),
                                                      self.train_key,
                                                      apply_gp=apply_gp)
                         metrics.append(m)
                     staged = nxt
                 if staged is not None:
-                    self.state, m = self.step_fn(self.state, *staged,
+                    self.state, m = self.step_fn(self.state, *staged.result(),
                                                  self.train_key,
                                                  apply_gp=apply_gp)
                     metrics.append(m)
                 if profile_this_epoch:
                     jax.block_until_ready(metrics[-1])
 
-            # One host sync per epoch (the reference syncs 5x per step).
-            fetched = jax.device_get(metrics)
-            means = {k: float(np.mean([getattr(m, k) for m in fetched]))
-                     for k in ("loss_d", "loss_g", "loss_l1", "loss_gp",
-                               "loss_per")}
+            # One host sync per epoch (the reference syncs 5x per step),
+            # as ONE device buffer: fetching the raw metrics list costs a
+            # relay round-trip per scalar (5 x steps_per_epoch).
+            fetched = np.asarray(jax.device_get(
+                self._stack_metrics(metrics)), np.float32)
+            self.epoch_seconds.append(time.time() - t0)
+            keys = ("loss_d", "loss_g", "loss_l1", "loss_gp", "loss_per")
+            per_step_means = fetched.mean(axis=0)
+            means = {k: float(per_step_means[metrics[0]._fields.index(k)])
+                     for k in keys}
             if cfg.debug_nans:
                 nan_guard(means, step_info=f"(epoch {epoch})")
             self.disc_loss.append(means["loss_d"])
@@ -306,7 +332,7 @@ class Trainer:
             self.per_loss.append(means["loss_per"])
 
             if progress and self.is_main_process:
-                dt = time.time() - t0
+                dt = self.epoch_seconds[-1]
                 # The reference prints the POST-scheduler.step() lr
                 # (/root/reference/train.py:172-178), i.e. next epoch's value;
                 # step_offset keeps the print correct on --continue_training.
