@@ -106,10 +106,13 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
     Host work is pipelined like the reference's 4-worker test DataLoader
     (/root/reference/test.py:47): a decode pool fans image loading over
     ``threads`` workers, a 1-worker staging pool assembles batch k+1 while
-    batch k runs on-device, and PNG encoding/writes are handed to a writer
-    pool so the (3.4 ms) generator forward never waits on the disk. Metric
-    accumulation stays in the main thread in dataset order, so eval.txt and
-    every artifact are byte-identical to the serial path.
+    batch k runs on-device, ONE generator forward is always kept in flight
+    (batch k+1 is dispatched before batch k's output is pulled off the
+    device, so the device compute and the relay transfer ride under the
+    host-side metric/encode work), and PNG encoding/writes and the metric
+    reductions go to worker pools. Metric results are collected from their
+    futures in dataset order, so eval.txt and every artifact are
+    byte-identical to the serial path.
     """
     import concurrent.futures as cf
 
@@ -125,7 +128,7 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
 
     with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as decode, \
             cf.ThreadPoolExecutor(max_workers=1) as staging, \
-            cf.ThreadPoolExecutor(max_workers=max(1, threads)) as writer:
+            cf.ThreadPoolExecutor(max_workers=max(1, threads)) as worker:
 
         def assemble(idxs):
             pairs = list(decode.map(dataset.load_pair, idxs))
@@ -133,28 +136,49 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
             if len(idxs) < eval_batch:  # pad the tail to the compiled shape
                 srcs = np.concatenate(
                     [srcs, np.repeat(srcs[-1:], eval_batch - len(idxs), 0)])
+            # The f32 view feeds the sgt PNG writers on the HOST; the device
+            # upload is the raw uint8 (4x less relay H2D traffic — the
+            # normalize runs on-device inside norm_fwd with the identical
+            # f32 arithmetic, bit-exact vs uploading host-normalized f32).
             src = srcs.astype(np.float32) / 255.0 * 2.0 - 1.0
-            return idxs, pairs, src
+            return idxs, pairs, srcs, src
 
         writes = []
-        pending = staging.submit(assemble, chunks[0])
-        for ci in range(len(chunks)):
-            idxs, pairs, src_np = pending.result()
-            if ci + 1 < len(chunks):
-                pending = staging.submit(assemble, chunks[ci + 1])
-            outs = np.asarray(forward_chain(jnp.asarray(src_np)))
+        metric_futs = []  # futures in dataset order
 
+        def drain(idxs, pairs, src_np, dev_out):
+            outs = np.asarray(dev_out)  # device->host of the finished batch
             for k, i in enumerate(idxs):
                 out = outs[k]
                 tgt = pairs[k][1].astype(np.float32) / 255.0
                 if evaluation:
-                    res = eval_pair(tgt, out)
-                    accuracy.append(res["accuracy"])
-                    dice.append(res["dice"])
-                    jaccard.append(res["jaccard"])
-                writes.append(writer.submit(
+                    metric_futs.append(worker.submit(eval_pair, tgt, out))
+                writes.append(worker.submit(
                     _write_case, i, src_np[k], tgt, out, output_path,
                     target_mode))
+
+        @jax.jit
+        def norm_fwd(src_u8):
+            src = src_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+            return forward_chain(src)
+
+        pending = staging.submit(assemble, chunks[0])
+        inflight = None
+        for ci in range(len(chunks)):
+            idxs, pairs, srcs_u8, src_np = pending.result()
+            if ci + 1 < len(chunks):
+                pending = staging.submit(assemble, chunks[ci + 1])
+            dev_out = norm_fwd(jnp.asarray(srcs_u8))  # async dispatch
+            if inflight is not None:
+                drain(*inflight)
+            inflight = (idxs, pairs, src_np, dev_out)
+        drain(*inflight)
+
+        for f in metric_futs:
+            res = f.result()
+            accuracy.append(res["accuracy"])
+            dice.append(res["dice"])
+            jaccard.append(res["jaccard"])
         for w in writes:
             w.result()  # surface any write error
     return accuracy, dice, jaccard
