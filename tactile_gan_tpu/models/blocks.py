@@ -85,7 +85,9 @@ class Conv(nn.Module):
         # fall into the tuple branch (Up2 is a NamedTuple: iterating it
         # would yield the raw coarse tensor and silently convolve at half
         # resolution). PackedW likewise.
-        from tactile_gan_tpu.ops.packed_row import PackedW, conv2d_multi_packed
+        from tactile_gan_tpu.ops.packed_row import (
+            PackedW, conv2d_multi_packed, head1x1_packed,
+        )
         from tactile_gan_tpu.ops.resize import Up2
 
         if isinstance(x, (Up2, PackedW)):
@@ -100,6 +102,12 @@ class Conv(nn.Module):
             self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             if self.use_bias else None
         )
+        if (self.kernel_size == 1 and parts and len(parts) == 1
+                and isinstance(parts[0], PackedW)):
+            # The 1x1 head of a packed row runs in packed space and unpacks
+            # for free (see head1x1_packed) — same params as the NHWC conv.
+            return head1x1_packed(parts[0], k, b,
+                                  compute_dtype=self.compute_dtype)
         if self.packed_out or (parts and any(isinstance(t, PackedW)
                                              for t in parts)):
             if (self.kernel_size, self.stride, self.padding) != (3, 1, 1):

@@ -75,7 +75,7 @@ class UNetPlusPlus(nn.Module):
                 "packed_row0 needs split_concat, nf <= 64, and no "
                 "space_to_depth")
         if packed0:
-            from tactile_gan_tpu.ops.packed_row import unpack_w
+            from tactile_gan_tpu.ops.packed_row import avg_pool2_packed
         widths = [2 * nf if s2d else nf, nf * 2, nf * 4, nf * 8, nf * 16]
         if s2d:
             if nf % 2:
@@ -105,7 +105,9 @@ class UNetPlusPlus(nn.Module):
             if row == 1 and s2d:
                 h = pool_row0(h)
             elif row == 1 and packed0:
-                h = avg_pool2(unpack_w(h))
+                # Same mean over the same four elements, bitcast reshape
+                # instead of the unpack's layout copy (see avg_pool2_packed).
+                h = avg_pool2_packed(h)
             elif row > 0:
                 h = avg_pool2(h)
             h = block(row, 0, h)
@@ -134,8 +136,6 @@ class UNetPlusPlus(nn.Module):
                 nodes[(row, col)] = block(row, col, joined)
 
         out = nodes[(0, 4)]
-        if packed0:
-            out = unpack_w(out)  # the 1x1 head runs in NHWC
         if s2d:
             out = depth_to_space2(out)  # back to H x W x nf/2 for the head
         return Head(

@@ -71,6 +71,55 @@ def packed_supported(c: int, co: int) -> bool:
     return 2 * c <= 128 and 2 * co <= 128
 
 
+def avg_pool2_packed(p: PackedW) -> jax.Array:
+    """2x2 average pool of a packed row, returning plain NHWC (N,H/2,W/2,C).
+
+    The packed array reshapes ROW-MAJOR (a bitcast, no data movement) to
+    (N, H/2, h-parity, W/2, w-parity, C), so ``mean(axis=(2, 4))`` is the
+    exact arithmetic of ops.pool.avg_pool2 on the unpacked tensor — same
+    four elements, same reduction axes. The unpack_w -> avg_pool2 route
+    instead paid a 6-d layout-changing reshape + copy at the row-0 -> row-1
+    boundary (0.34 ms/step at b4 256², round-4 xplane, BASELINE.md).
+    """
+    n, hp, c2 = p.d.shape
+    c = c2 // 2
+    w2 = hp // p.h
+    x = p.d.reshape(n, p.h // 2, 2, w2, 2, c)
+    return jnp.mean(x, axis=(2, 4))
+
+
+def head1x1_packed(p: PackedW, kernel: jax.Array,
+                   bias: Optional[jax.Array],
+                   compute_dtype=None) -> jax.Array:
+    """1x1 conv of a packed row, returning plain NHWC (N, H, W, F).
+
+    A 1x1 conv is a per-pixel matmul, so it runs IN packed space with the
+    kernel embedded block-diagonally over the two w-phases:
+    ``K2[(e, ci), (e, f)] = K[ci, f]``; the output's packed lane order
+    (e, f) then unpacks by a pure row-major reshape. This removes the
+    head boundary the plain route paid at b4 256² (round-4 xplane:
+    unpack reshape 0.18 ms fwd + dgrad-conv 0.31 + conv-layout copy 0.41 +
+    cotangent copy 0.15 + repack reshape 0.18 ms bwd — the cotangent now
+    re-enters the packed backward as a reshape). Plain autodiff of the
+    embedding is exact: dK arrives as the sum of the two diagonal blocks,
+    identical to the unpacked conv's wgrad.
+    """
+    c, f = kernel.shape[2], kernel.shape[3]
+    k = kernel.reshape(c, f)
+    k2 = jnp.zeros((2 * c, 2 * f), kernel.dtype)
+    k2 = k2.at[:c, :f].set(k).at[c:, f:].set(k)
+    x = p.d
+    if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
+        x = x.astype(compute_dtype)
+        k2 = k2.astype(compute_dtype)
+    y = jnp.einsum("ntc,cf->ntf", x, k2).astype(jnp.float32)
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(y.dtype), 2)[None, None, :]
+    n, hp, _ = y.shape
+    w2 = hp // p.h
+    return y.reshape(n, p.h, 2 * w2, f)
+
+
 # ---------------------------------------------------------------------------
 # Shifted views (XLA): the exact building blocks of the packed formulation,
 # shared by the off-TPU forward, the wgrad, and the unit tests.
@@ -307,6 +356,20 @@ def conv2d_multi_packed(xs, kernel: jax.Array, *,
             part = packed_conv3x3(t.d, k_piece, t.h, compute_dtype)
         elif isinstance(t, Up2):
             part = conv3x3_on_up2_packed(t.x, k_piece, compute_dtype)
+        elif t.shape[2] % 2 == 0:
+            # NHWC entry piece (the 3-channel stem): the w-packed conv
+            # (ops/conv.py _pack2_w) emits (N,H,W/2,2co) with the packed
+            # lane order (phase, co), so flattening it into the packed rows
+            # is a pure row-major reshape. The plain-conv + pack_w route
+            # instead cost two 1.2 ms f32[4,256,256,64] layout transposes
+            # per step at the stem boundary (round-4 xplane, BASELINE.md).
+            from tactile_gan_tpu.ops.conv import (
+                _conv_packed_plain, _conv_plain3x3, _packed_with_plain_bwd,
+            )
+            y = _packed_with_plain_bwd(_conv_packed_plain, _conv_plain3x3,
+                                       t, k_piece, compute_dtype)
+            n_, hh, w2_, c2_ = y.shape
+            part = y.reshape(n_, hh * w2_, c2_)
         else:
             part = pack_w(conv2d(t, k_piece, stride=1, padding=1,
                                  compute_dtype=compute_dtype)).d
