@@ -106,11 +106,13 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
     Host work is pipelined like the reference's 4-worker test DataLoader
     (/root/reference/test.py:47): a decode pool fans image loading over
     ``threads`` workers, a 1-worker staging pool assembles batch k+1 while
-    batch k runs on-device, ONE generator forward is always kept in flight
-    (batch k+1 is dispatched before batch k's output is pulled off the
-    device, so the device compute and the relay transfer ride under the
-    host-side metric/encode work), and PNG encoding/writes and the metric
-    reductions go to worker pools. Metric results are collected from their
+    batch k runs on-device, the device->host pull of each finished batch
+    runs on a 1-worker transfer executor (the relay moves f32 outputs at
+    only ~20 MB/s ≈ 36 ms/image, measured round 4 — blocking the dispatch
+    loop on it was the throughput ceiling), and PNG encoding/writes and
+    the metric reductions go to worker pools. The transfer queue is
+    bounded (4 batches) so device output buffers can't pile up on an
+    arbitrarily large eval set. Metric results are collected from their
     futures in dataset order, so eval.txt and every artifact are
     byte-identical to the serial path.
     """
@@ -128,6 +130,7 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
 
     with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as decode, \
             cf.ThreadPoolExecutor(max_workers=1) as staging, \
+            cf.ThreadPoolExecutor(max_workers=1) as d2h, \
             cf.ThreadPoolExecutor(max_workers=max(1, threads)) as worker:
 
         def assemble(idxs):
@@ -140,8 +143,11 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
             # upload is the raw uint8 (4x less relay H2D traffic — the
             # normalize runs on-device inside norm_fwd with the identical
             # f32 arithmetic, bit-exact vs uploading host-normalized f32).
+            # The upload happens HERE, on the staging worker, one batch
+            # ahead of the dispatch loop (device_put blocks through the
+            # relay — same lesson as the Trainer's H2D staging thread).
             src = srcs.astype(np.float32) / 255.0 * 2.0 - 1.0
-            return idxs, pairs, srcs, src
+            return idxs, pairs, jnp.asarray(srcs), src
 
         writes = []
         metric_futs = []  # futures in dataset order
@@ -162,17 +168,20 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
             src = src_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0
             return forward_chain(src)
 
+        from collections import deque
+
         pending = staging.submit(assemble, chunks[0])
-        inflight = None
+        drains = deque()
         for ci in range(len(chunks)):
             idxs, pairs, srcs_u8, src_np = pending.result()
             if ci + 1 < len(chunks):
                 pending = staging.submit(assemble, chunks[ci + 1])
-            dev_out = norm_fwd(jnp.asarray(srcs_u8))  # async dispatch
-            if inflight is not None:
-                drain(*inflight)
-            inflight = (idxs, pairs, src_np, dev_out)
-        drain(*inflight)
+            dev_out = norm_fwd(srcs_u8)  # async dispatch (src pre-staged)
+            drains.append(d2h.submit(drain, idxs, pairs, src_np, dev_out))
+            while len(drains) > 4:  # cap live device output buffers
+                drains.popleft().result()
+        for f in drains:
+            f.result()  # all metric/write futures submitted, in order
 
         for f in metric_futs:
             res = f.result()
