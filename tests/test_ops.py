@@ -227,3 +227,72 @@ def test_instance_norm_act_packed_matches_plain():
     got = unpack_w(instance_norm_act_packed(pack_w(x), sc, off, "relu"))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
                                rtol=1e-4)
+
+
+def test_avg_pool2_packed_matches_plain():
+    """ops/packed_row.py avg_pool2_packed: the packed-row 2x2 pool (parity-
+    axis mean over a row-major reshape) is the EXACT arithmetic of
+    unpack_w -> avg_pool2 — value and gradient."""
+    from tactile_gan_tpu.ops.packed_row import (
+        avg_pool2_packed, pack_w, unpack_w,
+    )
+    from tactile_gan_tpu.ops.pool import avg_pool2
+
+    rng = np.random.default_rng(13)
+    for (N, H, W, C) in [(2, 8, 12, 6), (1, 16, 16, 64)]:
+        x = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+        want = avg_pool2(x)
+        got = avg_pool2_packed(pack_w(x))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        def loss_plain(x2):
+            return jnp.sum(jnp.sin(avg_pool2(unpack_w(pack_w(x2)))))
+
+        def loss_packed(x2):
+            return jnp.sum(jnp.sin(avg_pool2_packed(pack_w(x2))))
+
+        ga = jax.grad(loss_plain)(x)
+        gb = jax.grad(loss_packed)(x)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_head1x1_packed_matches_plain_conv():
+    """ops/packed_row.py head1x1_packed: the block-diagonal packed-space 1x1
+    conv equals unpack_w -> plain 1x1 conv (+bias) in value and in both
+    gradients (dK must arrive as the sum of the two diagonal blocks)."""
+    from tactile_gan_tpu.ops.conv import conv2d
+    from tactile_gan_tpu.ops.packed_row import head1x1_packed, pack_w, unpack_w
+
+    rng = np.random.default_rng(17)
+    for (N, H, W, C, F), cdt in [((2, 8, 10, 6, 3), None),
+                                 ((1, 16, 16, 64, 3), jnp.bfloat16)]:
+        x = jnp.asarray(rng.normal(size=(N, H, W, C)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, 1, C, F)).astype(np.float32) * .2)
+        b = jnp.asarray(rng.normal(size=(F,)).astype(np.float32))
+
+        def plain(x2, k2, b2):
+            y = conv2d(unpack_w(pack_w(x2)), k2, stride=1, padding=0,
+                       compute_dtype=cdt)
+            return y + b2[None, None, None, :]
+
+        def packed(x2, k2, b2):
+            return head1x1_packed(pack_w(x2), k2, b2, compute_dtype=cdt)
+
+        want = plain(x, k, b)
+        got = packed(x, k, b)
+        tol = 3e-2 if cdt is not None else 1e-5
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=tol, rtol=1e-2 if cdt else 1e-5)
+
+        for fn in (plain, packed):
+            fn_grads = jax.grad(lambda *a: jnp.sum(jnp.sin(fn(*a))),
+                                argnums=(0, 1, 2))(x, k, b)
+            if fn is plain:
+                ga = fn_grads
+            else:
+                gb = fn_grads
+        gtol = 3e-2 if cdt is not None else 1e-5
+        for a_, b_ in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a_),
+                                       atol=gtol, rtol=1e-2 if cdt else 1e-5)
