@@ -202,13 +202,15 @@ def test_model(forward, dataset: PairedDataset, output_path: str,
 
 
 def test_two_step(forward1, forward2, dataset: PairedDataset,
-                  output_path: str, evaluation: bool = True):
+                  output_path: str, evaluation: bool = True,
+                  eval_batch: int = 1, threads: int = 4):
     """Chained gen2(gen1(x)) evaluation with channel-wise visualization
     (/root/reference/two_step_test.py:6-44). The stage-1 output (tanh,
     [-1,1]-convention) feeds stage 2 directly, exactly like the reference."""
     def chain(src):
         return forward2(forward1(src))
-    return _run_cases(chain, dataset, output_path, "ch", evaluation)
+    return _run_cases(chain, dataset, output_path, "ch", evaluation,
+                      eval_batch=eval_batch, threads=threads)
 
 
 def evaluate_folder(folder: str, work_root: str = ".",

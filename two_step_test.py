@@ -15,6 +15,9 @@ def main(argv=None):
     parser.add_argument("--s2_dir", default="t2_2d_per")
     parser.add_argument("--data", default="data_plot_3")
     parser.add_argument("--work_root", default=os.getcwd())
+    parser.add_argument("--eval_batch", type=int, default=1,
+                        help="chained forward batch (1 = reference's "
+                             "per-image loop; larger batches for throughput)")
     args = parser.parse_args(argv)
 
     from tactile_gan_tpu.core.config import TrainConfig
@@ -44,7 +47,8 @@ def main(argv=None):
     mkdir(output_path)
 
     accuracy, dice, jaccard = test_two_step(fwd1, fwd2, dataset, output_path,
-                                            evaluation=True)
+                                            evaluation=True,
+                                            eval_batch=args.eval_batch)
     if len(accuracy) > 0:
         print_evaluation(accuracy, dice, jaccard, output_path)
 
