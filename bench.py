@@ -15,8 +15,10 @@ running the same training arithmetic on CPU (imported read-only from
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
+import contextlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -26,6 +28,36 @@ NF = 64
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_baseline.json")
 CACHE_KEY = f"torch_cpu_unetpp_nf{NF}_b{BATCH}_{SIZE}_ls_gp"
+
+
+_ANSI = re.compile(r"\x1b\[[0-9;]*[A-Za-z]")
+
+
+def _short_err(e: Exception) -> str:
+    """One short, control-character-free line. Round 4's BENCH artifact was
+    unparseable because a matrix entry embedded a multi-KB libtpu init log
+    (ANSI escapes included) as its error string."""
+    lines = [ln.strip() for ln in _ANSI.sub("", str(e)).splitlines()
+             if ln.strip()]
+    msg = lines[-1] if lines else type(e).__name__
+    return f"error: {type(e).__name__}: {msg[:200]}"
+
+
+def _sanitize(obj):
+    """Make the result JSON-safe: strip ANSI/control chars from every string
+    and bound its length, recursively."""
+    if isinstance(obj, str):
+        s = _ANSI.sub("", obj)
+        s = "".join(c if c >= " " else " " for c in s)
+        return s[:300]
+    if isinstance(obj, dict):
+        return {_sanitize(k): _sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj]
+    if isinstance(obj, float) and (obj != obj or obj in (float("inf"),
+                                                         float("-inf"))):
+        return None
+    return obj
 
 
 def _build_step(batch, use_pallas, split_concat=True, space_to_depth=False,
@@ -203,13 +235,21 @@ def measure_ours(steps: int = 20):
             kname = (f"b{b}_" + ("pallas" if up else "xla") + suffix)
             if kname in matrix:
                 continue
-            try:
-                _, _, st2, step2 = _build_step(b, up, space_to_depth=s2d,
-                                               packed_row0=pr0)
-                ips2, _ = _time_step(step2, st2, b, max(8, steps // 2))
-                matrix[kname] = round(ips2, 3)
-            except Exception as e:
-                matrix[kname] = f"error: {e}"
+            # One retry per entry: round 4's b4_xla entry died once on a
+            # transient relay/libtpu re-init and nothing retried it, so the
+            # official artifact lost the number.
+            for attempt in (0, 1):
+                try:
+                    _, _, st2, step2 = _build_step(b, up, space_to_depth=s2d,
+                                                   packed_row0=pr0)
+                    ips2, _ = _time_step(step2, st2, b, max(8, steps // 2))
+                    matrix[kname] = round(ips2, 3)
+                    break
+                except Exception as e:
+                    print(f"matrix {kname} attempt {attempt} failed: "
+                          f"{_short_err(e)}", file=sys.stderr, flush=True)
+                    matrix[kname] = _short_err(e)
+                    time.sleep(10)
     extra["throughput_matrix"] = matrix
 
     # Secondary: p50 single-image generator latency (the test.py hot path).
@@ -304,8 +344,10 @@ def measure_e2e():
         if batch == 4:
             tr = t
 
-    # Eval throughput at eval_batch 4 (the test.py hot path, pipelined
-    # runner) using the just-trained b4 generator.
+    # Eval throughput (the test.py hot path, pipelined runner, default u8
+    # transfer) using the just-trained b4 generator. The runner's jit cache
+    # keys on the forward object, so the second call per batch size is truly
+    # warm (zero new compiles — the round-4 0.24 img/s timed a recompile).
     from tactile_gan_tpu.eval.runner import test_model
     from tactile_gan_tpu.models.factory import create_generator
 
@@ -313,24 +355,30 @@ def measure_e2e():
                                 compute_dtype=jnp.bfloat16, use_pallas=False)
     params = tr.state.g_params
 
-    eval_batch = 4
-
     @jax.jit
     def forward(x):
         return gen_eval.apply(params, x)
 
     test_ds = PairedDataset(os.path.join(root, "data", "test", "source"),
                             size=SIZE, mode="test", aug=False, target="rgb")
-    with tempfile.TemporaryDirectory(prefix="bench_eval_") as outp:
-        test_model(forward, test_ds, outp, evaluation=True,
-                   target_mode="rgb", eval_batch=eval_batch, threads=8)
-        t0 = time.perf_counter()
-        acc, _, _ = test_model(forward, test_ds, outp, evaluation=True,
-                               target_mode="rgb", eval_batch=eval_batch,
-                               threads=8)
-        dt = time.perf_counter() - t0
-    out["eval_images_per_sec"] = round(len(acc) / dt, 2)
-    out["eval_batch"] = eval_batch
+    eval_matrix = {}
+    for eval_batch in (1, 4, 16):
+        try:
+            with tempfile.TemporaryDirectory(prefix="bench_eval_") as outp:
+                test_model(forward, test_ds, outp, evaluation=True,
+                           target_mode="rgb", eval_batch=eval_batch,
+                           threads=8)  # cold: compiles this batch shape
+                t0 = time.perf_counter()
+                acc, _, _ = test_model(forward, test_ds, outp,
+                                       evaluation=True, target_mode="rgb",
+                                       eval_batch=eval_batch, threads=8)
+                dt = time.perf_counter() - t0
+            eval_matrix[f"b{eval_batch}"] = round(len(acc) / dt, 2)
+        except Exception as e:
+            eval_matrix[f"b{eval_batch}"] = _short_err(e)
+    out["eval_images_per_sec"] = eval_matrix.get("b4")
+    out["eval_batch"] = 4
+    out["eval_matrix"] = eval_matrix
     return out
 
 
@@ -402,17 +450,24 @@ def measure_torch_baseline(steps: int = 3):
 
 
 def main():
-    train_ips, p50_ms, device_ms, extra = measure_ours()
-    if __import__("jax").default_backend() == "tpu":
+    # The driver parses ONE JSON line from stdout. Everything the
+    # measurement phases print (Trainer epoch lines, eval prints, libtpu
+    # noise from C++ land writes to fd 2 anyway) is quarantined to stderr;
+    # the JSON is validated by a json.loads round-trip before it is emitted
+    # (round 4's artifact was `parsed: null`).
+    real_stdout = sys.stdout
+    with contextlib.redirect_stdout(sys.stderr):
+        train_ips, p50_ms, device_ms, extra = measure_ours()
+        if __import__("jax").default_backend() == "tpu":
+            try:
+                extra.update(measure_e2e())
+            except Exception as e:
+                extra["e2e_error"] = _short_err(e)
         try:
-            extra.update(measure_e2e())
-        except Exception as e:
-            extra["e2e_error"] = str(e)
-    try:
-        baseline_ips = measure_torch_baseline()
-    except Exception as e:  # reference missing: report raw throughput only
-        baseline_ips = None
-        print(f"baseline measurement failed: {e}", file=sys.stderr)
+            baseline_ips = measure_torch_baseline()
+        except Exception as e:  # reference missing: report raw throughput
+            baseline_ips = None
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
 
     result = {
         "metric": "train_images_per_sec_256px_G+D_step",
@@ -428,7 +483,10 @@ def main():
             **extra,
         },
     }
-    print(json.dumps(result))
+    line = json.dumps(_sanitize(result))
+    json.loads(line)  # guarantee the emitted line is parseable
+    sys.stderr.flush()
+    print(line, file=real_stdout, flush=True)
 
 
 if __name__ == "__main__":

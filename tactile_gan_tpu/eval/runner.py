@@ -16,6 +16,7 @@ Faithful reference quirks kept:
 from __future__ import annotations
 
 import os
+import weakref
 from typing import Callable, List, Optional, Tuple
 
 import jax
@@ -78,6 +79,115 @@ def unnormalize(a: np.ndarray) -> np.ndarray:
     return a / 2.0 + 0.5
 
 
+def _quantize_u8(x: jax.Array) -> jax.Array:
+    """On-device ``round_half_even(clip(x, 0, 1) * 255)`` — BIT-EXACT vs the
+    host writers' float64 path (`eval/visualize.py _u8`), so PNG artifacts
+    are byte-identical whether the image crosses the relay as f32 or u8.
+
+    Plain f32 ``round(x * 255)`` is NOT exact: the f32 product can round
+    across a .5 boundary that the f64 product does not (~1e-3 absolute error
+    at 255 scale → a few off-by-one pixels per image). Instead the product is
+    computed exactly as an unevaluated pair: split x's mantissa in half by
+    bitmask (xh top 12 bits, xl = x - xh, both exact), so ph = 255*xh and
+    pl = 255*xl are each exact f32 products (20-bit results); then the
+    half-even decision is made on the exact sum ph + pl via TwoSum.
+    """
+    x = jnp.clip(x.astype(jnp.float32), 0.0, 1.0)
+    xb = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    xh = jax.lax.bitcast_convert_type(xb & jnp.uint32(0xFFFFF000),
+                                      jnp.float32)
+    xl = x - xh                      # exact: low 12 mantissa bits
+    ph = xh * 255.0                  # exact: 12-bit * 8-bit mantissa
+    pl = xl * 255.0                  # exact: 12-bit * 8-bit mantissa
+    n0 = jnp.round(ph)               # round-half-even, n0 in [0, 255]
+    delta = ph - n0                  # exact (|delta| <= 0.5)
+    # TwoSum: s + err == delta + pl exactly (round-to-nearest).
+    s = delta + pl
+    bv = s - delta
+    av = s - bv
+    err = (delta - av) + (pl - bv)
+    up = (s > 0.5) | ((s == 0.5) & (err > 0))
+    dn = (s < -0.5) | ((s == -0.5) & (err < 0))
+    tie_up = (s == 0.5) & (err == 0)
+    tie_dn = (s == -0.5) & (err == 0)
+    odd = jnp.mod(n0, 2.0) != 0.0
+    n = (n0 + up.astype(jnp.float32) - dn.astype(jnp.float32)
+         + (tie_up & odd).astype(jnp.float32)
+         - (tie_dn & odd).astype(jnp.float32))
+    return n.astype(jnp.uint8)
+
+
+def _fuzzy_sums(out: jax.Array, tgt_u8: jax.Array) -> jax.Array:
+    """Per-image fuzzy-metric reductions, (B, 4) f32: [sum(min(o,r)), sum(r),
+    sum(o*r), sum(o^2+r^2)] — the four scalars `eval_pair`'s fuzzy branch
+    needs (metrics.py:50-56). Fetching 4 scalars replaces the 786 KB/image
+    f32 output transfer the metrics used to require (the relay moves d2h at
+    ~20 MB/s ≈ 36 ms/image — the round-4 eval throughput ceiling). Device
+    sums accumulate in f32, so the metric ratios drift ~1e-6 relative vs the
+    host's float64 reduction (tested); the PNG artifacts stay byte-exact."""
+    o = out.astype(jnp.float32)
+    r = tgt_u8.astype(jnp.float32) / 255.0
+    ax = tuple(range(1, o.ndim))
+    return jnp.stack([
+        jnp.sum(jnp.minimum(o, r), axis=ax),
+        jnp.sum(r, axis=ax),
+        jnp.sum(o * r, axis=ax),
+        jnp.sum(o * o + r * r, axis=ax),
+    ], axis=1)
+
+
+# Per-forward cache of the jitted device programs. VERDICT r4 item 2: the
+# previous code rebuilt `jax.jit(norm_fwd)` inside every `_run_cases` call,
+# so every "warm" eval re-compiled the full generator through the relay
+# (minutes-scale) — that is what produced the bogus 0.24 img/s in BENCH_r04.
+# Keyed weakly on the forward callable: same forward object → same compiled
+# programs, zero new compiles (guarded by tests/test_eval.py).
+_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# test_two_step used to build a fresh `chain` closure per call, defeating any
+# downstream cache — memoize the chain on the (forward1, forward2) pair.
+_CHAIN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _jits_for(forward_chain: Callable[[jax.Array], jax.Array]) -> dict:
+    jits = _JIT_CACHE.get(forward_chain)
+    if jits is None:
+        def norm(src_u8):
+            # On-device normalize of the raw uint8 upload (4x less relay H2D
+            # than host-normalized f32; bit-exact same arithmetic).
+            return forward_chain(
+                src_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0)
+
+        @jax.jit
+        def f32_fwd(src_u8):
+            return norm(src_u8)
+
+        @jax.jit
+        def u8_fwd(src_u8):
+            return _quantize_u8(norm(src_u8))
+
+        @jax.jit
+        def u8_eval_fwd(src_u8, tgt_u8):
+            out = norm(src_u8)
+            return _quantize_u8(out), _fuzzy_sums(out, tgt_u8)
+
+        jits = {"f32": f32_fwd, "u8": u8_fwd, "u8_eval": u8_eval_fwd}
+        _JIT_CACHE[forward_chain] = jits
+    return jits
+
+
+def _chain_for(forward1, forward2):
+    inner = _CHAIN_CACHE.get(forward1)
+    if inner is None:
+        inner = weakref.WeakKeyDictionary()
+        _CHAIN_CACHE[forward1] = inner
+    chain = inner.get(forward2)
+    if chain is None:
+        def chain(src):
+            return forward2(forward1(src))
+        inner[forward2] = chain
+    return chain
+
+
 def _write_case(i: int, src_norm: np.ndarray, tgt: np.ndarray,
                 out: np.ndarray, output_path: str, target_mode: str) -> None:
     if target_mode == "rgb":
@@ -97,6 +207,7 @@ def _write_case(i: int, src_norm: np.ndarray, tgt: np.ndarray,
 def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
                dataset: PairedDataset, output_path: str, target_mode: str,
                evaluation: bool, eval_batch: int = 1, threads: int = 4,
+               transfer: str = "u8",
                ) -> Tuple[List[float], List[float], List[float]]:
     """eval_batch=1 reproduces the reference's per-image loop
     (/root/reference/test.py:200-203); larger values batch the generator
@@ -107,17 +218,27 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
     (/root/reference/test.py:47): a decode pool fans image loading over
     ``threads`` workers, a 1-worker staging pool assembles batch k+1 while
     batch k runs on-device, the device->host pull of each finished batch
-    runs on a 1-worker transfer executor (the relay moves f32 outputs at
-    only ~20 MB/s ≈ 36 ms/image, measured round 4 — blocking the dispatch
-    loop on it was the throughput ceiling), and PNG encoding/writes and
-    the metric reductions go to worker pools. The transfer queue is
-    bounded (4 batches) so device output buffers can't pile up on an
-    arbitrarily large eval set. Metric results are collected from their
-    futures in dataset order, so eval.txt and every artifact are
+    runs on a 1-worker transfer executor, and PNG encoding/writes go to a
+    worker pool. The transfer queue is bounded (4 batches) so device output
+    buffers can't pile up on an arbitrarily large eval set. Metric results
+    are collected in dataset order, so eval.txt and every artifact are
     byte-identical to the serial path.
+
+    ``transfer`` picks what crosses the relay back to the host (the relay
+    moves d2h at only ~20 MB/s ≈ 36 ms per f32 image — the round-4
+    throughput ceiling):
+    - "u8" (default): the output is quantized to uint8 ON-DEVICE with a
+      bit-exact replica of the host writers' f64 rounding (PNG artifacts
+      byte-identical, 4x less d2h), and the fuzzy metric reductions run
+      on-device too (4 scalars/image instead of the full f32 image; ratios
+      drift ~1e-6 relative vs host f64 sums).
+    - "f32": the round-3/4 behavior — full f32 outputs to the host, metrics
+      and quantization on the host in f64.
     """
     import concurrent.futures as cf
 
+    if transfer not in ("u8", "f32"):
+        raise ValueError(f"unknown eval transfer mode: {transfer!r}")
     for sub in ("out", "sgt", "elm"):
         mkdir(os.path.join(output_path, sub))
 
@@ -127,67 +248,91 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
         return accuracy, dice, jaccard
     chunks = [list(range(s, min(s + eval_batch, n)))
               for s in range(0, n, eval_batch)]
+    jits = _jits_for(forward_chain)
+    want_sums = transfer == "u8" and evaluation
 
     with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as decode, \
             cf.ThreadPoolExecutor(max_workers=1) as staging, \
             cf.ThreadPoolExecutor(max_workers=1) as d2h, \
             cf.ThreadPoolExecutor(max_workers=max(1, threads)) as worker:
 
+        def _pad(arrs):
+            stacked = np.stack(arrs)
+            if len(arrs) < eval_batch:  # pad the tail to the compiled shape
+                stacked = np.concatenate(
+                    [stacked,
+                     np.repeat(stacked[-1:], eval_batch - len(arrs), 0)])
+            return stacked
+
         def assemble(idxs):
             pairs = list(decode.map(dataset.load_pair, idxs))
-            srcs = np.stack([p[0] for p in pairs])
-            if len(idxs) < eval_batch:  # pad the tail to the compiled shape
-                srcs = np.concatenate(
-                    [srcs, np.repeat(srcs[-1:], eval_batch - len(idxs), 0)])
+            srcs = _pad([p[0] for p in pairs])
             # The f32 view feeds the sgt PNG writers on the HOST; the device
             # upload is the raw uint8 (4x less relay H2D traffic — the
-            # normalize runs on-device inside norm_fwd with the identical
-            # f32 arithmetic, bit-exact vs uploading host-normalized f32).
-            # The upload happens HERE, on the staging worker, one batch
-            # ahead of the dispatch loop (device_put blocks through the
-            # relay — same lesson as the Trainer's H2D staging thread).
+            # normalize runs on-device inside the jitted forward with the
+            # identical f32 arithmetic, bit-exact vs uploading
+            # host-normalized f32). The upload happens HERE, on the staging
+            # worker, one batch ahead of the dispatch loop (device_put
+            # blocks through the relay — same lesson as the Trainer's H2D
+            # staging thread).
             src = srcs.astype(np.float32) / 255.0 * 2.0 - 1.0
-            return idxs, pairs, jnp.asarray(srcs), src
+            dev_tgt = (jnp.asarray(_pad([p[1] for p in pairs]))
+                       if want_sums else None)
+            return idxs, pairs, jnp.asarray(srcs), dev_tgt, src
 
         writes = []
-        metric_futs = []  # futures in dataset order
+        metrics = []  # futures or ready dicts, in dataset order
 
-        def drain(idxs, pairs, src_np, dev_out):
+        def drain(idxs, pairs, src_np, dev_out, dev_sums):
             outs = np.asarray(dev_out)  # device->host of the finished batch
+            sums = (np.asarray(dev_sums, dtype=np.float64)
+                    if dev_sums is not None else None)
             for k, i in enumerate(idxs):
                 out = outs[k]
-                tgt = pairs[k][1].astype(np.float32) / 255.0
+                tgt_u8 = pairs[k][1]
                 if evaluation:
-                    metric_futs.append(worker.submit(eval_pair, tgt, out))
+                    if sums is not None:
+                        s_min, s_r, s_or, s_sq = sums[k]
+                        metrics.append({"accuracy": s_min / s_r,
+                                        "dice": 2.0 * s_or / s_sq,
+                                        "jaccard": s_or / (s_sq - s_or)})
+                    else:
+                        metrics.append(worker.submit(
+                            eval_pair,
+                            tgt_u8.astype(np.float32) / 255.0, out))
+                # tgt crosses as uint8; the writers' _u8 passes it through
+                # (byte-identical to quantizing tgt/255.0 — exact).
                 writes.append(worker.submit(
-                    _write_case, i, src_np[k], tgt, out, output_path,
+                    _write_case, i, src_np[k], tgt_u8, out, output_path,
                     target_mode))
-
-        @jax.jit
-        def norm_fwd(src_u8):
-            src = src_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0
-            return forward_chain(src)
 
         from collections import deque
 
         pending = staging.submit(assemble, chunks[0])
         drains = deque()
         for ci in range(len(chunks)):
-            idxs, pairs, srcs_u8, src_np = pending.result()
+            idxs, pairs, srcs_u8, dev_tgt, src_np = pending.result()
             if ci + 1 < len(chunks):
                 pending = staging.submit(assemble, chunks[ci + 1])
-            dev_out = norm_fwd(srcs_u8)  # async dispatch (src pre-staged)
-            drains.append(d2h.submit(drain, idxs, pairs, src_np, dev_out))
+            # async dispatch (src pre-staged)
+            if want_sums:
+                dev_out, dev_sums = jits["u8_eval"](srcs_u8, dev_tgt)
+            elif transfer == "u8":
+                dev_out, dev_sums = jits["u8"](srcs_u8), None
+            else:
+                dev_out, dev_sums = jits["f32"](srcs_u8), None
+            drains.append(d2h.submit(drain, idxs, pairs, src_np, dev_out,
+                                     dev_sums))
             while len(drains) > 4:  # cap live device output buffers
                 drains.popleft().result()
         for f in drains:
             f.result()  # all metric/write futures submitted, in order
 
-        for f in metric_futs:
-            res = f.result()
-            accuracy.append(res["accuracy"])
-            dice.append(res["dice"])
-            jaccard.append(res["jaccard"])
+        for f in metrics:
+            res = f.result() if isinstance(f, cf.Future) else f
+            accuracy.append(float(res["accuracy"]))
+            dice.append(float(res["dice"]))
+            jaccard.append(float(res["jaccard"]))
         for w in writes:
             w.result()  # surface any write error
     return accuracy, dice, jaccard
@@ -195,28 +340,32 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
 
 def test_model(forward, dataset: PairedDataset, output_path: str,
                evaluation: bool = False, target_mode: str = "rgb",
-               eval_batch: int = 1, threads: int = 4):
+               eval_batch: int = 1, threads: int = 4, transfer: str = "u8"):
     """Parity with /root/reference/test.py:188-230 (4-worker loader incl.)."""
     return _run_cases(forward, dataset, output_path, target_mode, evaluation,
-                      eval_batch=eval_batch, threads=threads)
+                      eval_batch=eval_batch, threads=threads,
+                      transfer=transfer)
 
 
 def test_two_step(forward1, forward2, dataset: PairedDataset,
                   output_path: str, evaluation: bool = True,
-                  eval_batch: int = 1, threads: int = 4):
+                  eval_batch: int = 1, threads: int = 4,
+                  transfer: str = "u8"):
     """Chained gen2(gen1(x)) evaluation with channel-wise visualization
     (/root/reference/two_step_test.py:6-44). The stage-1 output (tanh,
-    [-1,1]-convention) feeds stage 2 directly, exactly like the reference."""
-    def chain(src):
-        return forward2(forward1(src))
-    return _run_cases(chain, dataset, output_path, "ch", evaluation,
-                      eval_batch=eval_batch, threads=threads)
+    [-1,1]-convention) feeds stage 2 directly, exactly like the reference.
+    The chain closure is memoized on the (forward1, forward2) pair so
+    repeated calls reuse the compiled program."""
+    return _run_cases(_chain_for(forward1, forward2), dataset, output_path,
+                      "ch", evaluation, eval_batch=eval_batch,
+                      threads=threads, transfer=transfer)
 
 
 def evaluate_folder(folder: str, work_root: str = ".",
                     data_override: Optional[str] = None,
                     progress: bool = True,
-                    eval_batch: int = 1) -> Optional[dict]:
+                    eval_batch: int = 1,
+                    transfer: str = "u8") -> Optional[dict]:
     """The test.py __main__ flow (/root/reference/test.py:232-257): load
     params.txt, model, data, loss arrays; plot; run; write eval.txt."""
     import json
@@ -259,7 +408,7 @@ def evaluate_folder(folder: str, work_root: str = ".",
     accuracy, dice, jaccard = test_model(
         forward, dataset, output_path, evaluation=True,
         target_mode=cfg.target, eval_batch=eval_batch,
-        threads=max(1, min(cfg.threads, 8)))
+        threads=max(1, min(cfg.threads, 8)), transfer=transfer)
     if len(accuracy) > 0:
         print_evaluation(accuracy, dice, jaccard, output_path)
         return {"accuracy": float(np.mean(accuracy)),

@@ -19,7 +19,10 @@ from PIL.ImageOps import invert
 
 
 def _u8(x: np.ndarray) -> np.ndarray:
-    return (np.clip(np.asarray(x, np.float64), 0.0, 1.0) * 255.0).round().astype(np.uint8)
+    x = np.asarray(x)
+    if x.dtype == np.uint8:  # already quantized (on-device u8 eval transfer)
+        return x
+    return (np.clip(x.astype(np.float64), 0.0, 1.0) * 255.0).round().astype(np.uint8)
 
 
 def to_pil(img_hwc: np.ndarray) -> Image.Image:

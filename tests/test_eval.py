@@ -4,6 +4,7 @@ tree from a trained tiny model (integration)."""
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from PIL import Image
@@ -102,6 +103,53 @@ def test_to_pil_clamps():
     assert list(img.getdata()) == [0, 255]
 
 
+def test_quantize_u8_bit_exact():
+    """The on-device quantizer must reproduce the host writers' f64
+    round-half-even byte-for-byte: the plain f32 round(x*255) it replaces is
+    off-by-one on values whose exact product sits within an f32 ulp of a .5
+    boundary (a few pixels per image)."""
+    from tactile_gan_tpu.eval.runner import _quantize_u8
+    from tactile_gan_tpu.eval.visualize import _u8
+
+    rng = np.random.default_rng(7)
+    cases = [rng.uniform(-0.1, 1.1, 200_000).astype(np.float32)]
+    # adversarial: every half-integer product boundary, +/- a few f32 ulps
+    ks = np.arange(255, dtype=np.float64)
+    bounds = ((ks + 0.5) / 255.0).astype(np.float32)
+    for steps in range(-4, 5):
+        b = bounds.copy()
+        for _ in range(abs(steps)):
+            b = np.nextafter(b, np.float32(2.0 if steps > 0 else -2.0))
+        cases.append(b)
+    # the one exactly representable tie (255 * 0.5 = 127.5), and the ends
+    cases.append(np.array([0.5, 0.0, 1.0, -1.0, 2.0], np.float32))
+    x = np.concatenate(cases)
+    ours = np.asarray(_quantize_u8(jnp.asarray(x)))
+    host = _u8(x)
+    np.testing.assert_array_equal(ours, host)
+    # bf16 inputs (bf16-resident forward outputs) take the same path
+    xb = jnp.asarray(x[:4096], jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(_quantize_u8(xb)),
+                                  _u8(np.asarray(xb, np.float32)))
+
+
+def test_fuzzy_sums_match_eval_pair():
+    from tactile_gan_tpu.eval.runner import _fuzzy_sums
+
+    rng = np.random.default_rng(11)
+    out = rng.uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+    tgt = rng.integers(0, 255, (2, 16, 16, 3), dtype=np.uint8)
+    sums = np.asarray(_fuzzy_sums(jnp.asarray(out), jnp.asarray(tgt)),
+                      np.float64)
+    for k in range(2):
+        ref = eval_pair(tgt[k].astype(np.float32) / 255.0, out[k], fuzzy=True)
+        s_min, s_r, s_or, s_sq = sums[k]
+        np.testing.assert_allclose(s_min / s_r, ref["accuracy"], rtol=1e-6)
+        np.testing.assert_allclose(2 * s_or / s_sq, ref["dice"], rtol=1e-6)
+        np.testing.assert_allclose(s_or / (s_sq - s_or), ref["jaccard"],
+                                   rtol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # Integration: train tiny model → test.py-equivalent artifact tree.
 # ---------------------------------------------------------------------------
@@ -169,6 +217,50 @@ def test_batched_eval_matches_per_image(tmp_path):
     img1 = np.asarray(Image.open(os.path.join(out1, "out", "3.png")))
     img2 = np.asarray(Image.open(os.path.join(out2, "out", "3.png")))
     np.testing.assert_array_equal(img1, img2)
+
+
+def test_eval_u8_transfer_matches_f32_and_never_recompiles(tmp_path):
+    """The default 'u8' transfer (on-device quantize + metric sums) must
+    produce byte-identical PNG artifacts and ~f64-identical metrics vs the
+    legacy 'f32' path — and repeated eval calls with the same forward must
+    hit the cached jit with ZERO new compiles (VERDICT r4: rebuilding
+    jax.jit per call made every 'warm' eval recompile through the relay,
+    producing the bogus 0.24 img/s round-4 measurement)."""
+    from tactile_gan_tpu.eval import runner
+    from tactile_gan_tpu.eval.runner import load_model, test_model
+    from tactile_gan_tpu.train import Trainer
+
+    cfg = tiny_cfg(tmp_path, total_epochs=1, folder_save="u8t",
+                   folder_load="u8t")
+    ds = build_dataset(cfg, n=5)
+    Trainer(cfg, ds, use_mesh=False).run_and_save(progress=False)
+    fwd, _ = load_model(os.path.join(cfg.models_dir(), "final_model.pth"),
+                        cfg)
+
+    out_u8 = os.path.join(str(tmp_path), "u8")
+    out_f32 = os.path.join(str(tmp_path), "f32")
+    a1, d1, j1 = test_model(fwd, ds, out_u8, evaluation=True,
+                            target_mode="rgb", eval_batch=2, transfer="u8")
+    a2, d2, j2 = test_model(fwd, ds, out_f32, evaluation=True,
+                            target_mode="rgb", eval_batch=2, transfer="f32")
+    # metrics: device f32 sums vs host f64 sums — ~1e-6 relative
+    np.testing.assert_allclose(a1, a2, rtol=1e-5)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
+    np.testing.assert_allclose(j1, j2, rtol=1e-5)
+    # artifacts: byte-identical (on-device quantizer is bit-exact)
+    for sub in ("out", "sgt"):
+        for name in sorted(os.listdir(os.path.join(out_u8, sub))):
+            b1 = open(os.path.join(out_u8, sub, name), "rb").read()
+            b2 = open(os.path.join(out_f32, sub, name), "rb").read()
+            assert b1 == b2, f"{sub}/{name} differs between u8/f32 transfer"
+
+    # no-recompile guard: a second identical run must add zero jit entries
+    jits = runner._JIT_CACHE[fwd]
+    sizes = {k: j._cache_size() for k, j in jits.items()}
+    test_model(fwd, ds, os.path.join(str(tmp_path), "rerun"),
+               evaluation=True, target_mode="rgb", eval_batch=2,
+               transfer="u8")
+    assert {k: j._cache_size() for k, j in jits.items()} == sizes
 
 
 def test_two_step_runner(tmp_path):

@@ -18,6 +18,9 @@ def main(argv=None):
     parser.add_argument("--eval_batch", type=int, default=1,
                         help="chained forward batch (1 = reference's "
                              "per-image loop; larger batches for throughput)")
+    parser.add_argument("--eval_transfer", choices=("u8", "f32"),
+                        default="u8",
+                        help="device->host transfer mode (see test.py)")
     args = parser.parse_args(argv)
 
     from tactile_gan_tpu.core.config import TrainConfig
@@ -48,7 +51,8 @@ def main(argv=None):
 
     accuracy, dice, jaccard = test_two_step(fwd1, fwd2, dataset, output_path,
                                             evaluation=True,
-                                            eval_batch=args.eval_batch)
+                                            eval_batch=args.eval_batch,
+                                            transfer=args.eval_transfer)
     if len(accuracy) > 0:
         print_evaluation(accuracy, dice, jaccard, output_path)
 
