@@ -33,19 +33,18 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
 
     with tempfile.TemporaryDirectory() as tmp:
-        sdir = os.path.join(tmp, "test", "source")
-        tdir = os.path.join(tmp, "test", "tactile")
-        os.makedirs(sdir), os.makedirs(tdir)
-        rng = np.random.default_rng(0)
-        for i in range(n_img):
-            Image.fromarray(rng.integers(0, 255, (size, size, 3),
-                                         dtype=np.uint8)
-                            ).save(os.path.join(sdir, f"s_{i:04d}.png"))
-            Image.fromarray(rng.integers(0, 255, (size, size, 3),
-                                         dtype=np.uint8)
-                            ).save(os.path.join(tdir, f"t_{i:04d}.tiff"))
-        ds = PairedDataset(sdir, size=size, mode="test", aug=False,
-                           target="rgb")
+        # REAL chart-like pairs, not noise: PNG-encoding noise images costs
+        # ~200 ms/image (deflate on incompressible data, probe_eval4) and
+        # swamps every pipeline stage — the round-4 noise-based numbers
+        # measured the PNG encoder, not the runner.
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__))
+        subprocess.run(
+            [sys.executable, os.path.join(here, "make_synth_dataset.py"),
+             "--out", tmp, "--n_train", "1", "--n_test", str(n_img)],
+            check=True, capture_output=True)
+        ds = PairedDataset(os.path.join(tmp, "test", "source"), size=size,
+                           mode="test", aug=False, target="rgb")
 
         gen = create_generator("UNet++", output_dim=3, nf=64, activation=True,
                                compute_dtype=jnp.bfloat16, use_pallas=False)
@@ -54,17 +53,19 @@ def main():
         def fwd(x):
             return gen.apply(params, x)
 
-        for eval_batch in (1, 4, 16):
-            for rep in range(2):
-                out = os.path.join(tmp, f"out_b{eval_batch}_{rep}")
-                t0 = time.perf_counter()
-                acc, _, _ = _run_cases(fwd, ds, out, "rgb", True,
-                                       eval_batch=eval_batch, threads=8)
-                dt = time.perf_counter() - t0
-                tag = "warm" if rep else "cold"
-                print(f"b{eval_batch:<2d} {tag}: {dt:7.2f} s  "
-                      f"{n_img / dt:6.2f} img/s  (n_metrics={len(acc)})",
-                      flush=True)
+        for transfer in ("u8", "f32"):
+            for eval_batch in (1, 4, 16):
+                for rep in range(2):
+                    out = os.path.join(tmp, f"out_{transfer}_b{eval_batch}_{rep}")
+                    t0 = time.perf_counter()
+                    acc, _, _ = _run_cases(fwd, ds, out, "rgb", True,
+                                           eval_batch=eval_batch, threads=8,
+                                           transfer=transfer)
+                    dt = time.perf_counter() - t0
+                    tag = "warm" if rep else "cold"
+                    print(f"{transfer:<3s} b{eval_batch:<2d} {tag}: "
+                          f"{dt:7.2f} s  {n_img / dt:6.2f} img/s  "
+                          f"(n_metrics={len(acc)})", flush=True)
 
 
 if __name__ == "__main__":

@@ -2,12 +2,13 @@
 """Decompose the b4 default step's "fusion" trace bucket (VERDICT r4 item 4).
 
 The round-4 trace of the shipped b4 step stopped at bucket level (51.4 ms =
-fusions 21.0 + copies 6.9 + ...). This probe names what is INSIDE the 21 ms:
-it traces 3 steps, takes per-HLO-op durations from the xplane, then maps each
-op back to its HLO metadata op_name (the jax name stack, which carries the
-flax module path — UNet++ row/node names — and the autodiff direction via
-transpose(...) scopes), plus the convolution ops inside each fused
-computation.
+fusions 21.0 + copies 6.9 + ...). This probe names what is INSIDE: through
+the axon relay the compiled HLO carries no op_name metadata, but the xplane
+event names embed the FULL HLO instruction text — parameter names
+(state_g_params__params__node4_0__..., block4_conv), kernel names
+(conv3x3_packed), and operand shapes (D activations are [N,127|63|61|59|57,..]
+or the transposed [H,32,8,C] form; packed row 0 is [4,32768,128]) — enough to
+bucket every event by subsystem.
 
 Usage (on the chip): python scripts/probe_fusion_attr.py [batch] [outdir]
 """
@@ -26,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def xplane_by_name(trace_dir):
+def xplane_events(trace_dir):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     hits = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
@@ -47,50 +48,47 @@ def xplane_by_name(trace_dir):
     return by_name
 
 
-_INSTR = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*\S+\s+(\w[\w\-]*)\(.*?"
-    r"(?:metadata=\{[^}]*op_name=\"([^\"]*)\")?", re.S)
+# D activations: NHWC batch 4/8/12 at the valid-pad rows, or XLA's
+# transposed (H, Wtiles, N, C) layout for the same rows.
+_D_SHAPE = re.compile(r"\[(?:4|8|12),(?:127|63|61|59|57),")
+_D_SHAPE_T = re.compile(r"\[(?:127|63|61|59|57),\d+,(?:4|8|12),")
+_D_NAME = re.compile(r"block\d_(?:conv|norm)|patch_head|state_d_")
+_PACKED_ROW = re.compile(r"\[4,32768,(?:128|6)\]|\[4,(?:128|256),2,128")
+_NODE = re.compile(r"node(\d)_\d")
+_G_OPT = re.compile(r"state_g_opt_state")
+_UP = re.compile(r"up_?(\d)|up(\d)_")
 
 
-def parse_hlo(hlo_text):
-    """instruction name -> (opcode, op_name metadata, computation name);
-    computation name -> list of (opcode, op_name) for interesting inner ops."""
-    instr = {}
-    comp_ops = defaultdict(list)
-    comp = None
-    fusion_calls = {}
-    for ln in hlo_text.splitlines():
-        m = re.match(r"^(%?[\w.\-]+)\s+\([^)]*\)\s*->", ln.strip())
-        if not ln.startswith(" ") and ("{" in ln) and ("=" not in ln):
-            cm = re.match(r"^\s*(?:ENTRY\s+)?%?([\w.\-]+)", ln)
-            comp = cm.group(1) if cm else comp
-            continue
-        mm = _INSTR.match(ln)
-        if not mm:
-            continue
-        name, opcode, op_name = mm.group(1), mm.group(2), mm.group(3) or ""
-        instr[name] = (opcode, op_name, comp)
-        cm = re.search(r"(?:calls|fusion)=%?([\w.\-]+)", ln)
-        if opcode == "fusion" and cm:
-            fusion_calls[name] = cm.group(1)
-        if opcode in ("convolution", "dot", "custom-call", "reduce",
-                      "scatter", "gather"):
-            comp_ops[comp].append((opcode, op_name))
-    return instr, comp_ops, fusion_calls
-
-
-def shorten(op_name):
-    """Compress a jax op_name stack to its informative tail: autodiff
-    direction + flax module scopes + primitive."""
-    if not op_name:
-        return "(no metadata)"
-    parts = op_name.split("/")
-    keep = []
-    for p in parts:
-        if p.startswith("jit(") or p == "jvp(step)":
-            continue
-        keep.append(p)
-    return "/".join(keep[-6:])
+def classify(text: str) -> str:
+    head = text.split("=", 1)[0]
+    if head.strip().lstrip("%").startswith("conv3x3_packed"):
+        return "row0 packed conv kernel"
+    if _D_NAME.search(text) or _D_SHAPE.search(text) or \
+            _D_SHAPE_T.search(text):
+        return "D + GP"
+    opcode = ""
+    m = re.search(r"=\s*(?:\([^)]*\)|\S+)\s+([\w\-]+)\(", text)
+    if m:
+        opcode = m.group(1)
+    nodes = [int(g) for g in _NODE.findall(text)]
+    if _PACKED_ROW.search(text):
+        if "custom-call" in opcode:
+            return "row0 norm kernel"
+        return "row0 packed glue (fusions/pad/select)"
+    if nodes:
+        row = min(nodes)
+        tag = f"G row{row}"
+        if _G_OPT.search(text):
+            return tag + " wgrad+adam"
+        return tag + " conv/fusion"
+    if opcode in ("copy", "reshape", "bitcast", "transpose"):
+        return f"layout {opcode}"
+    if "custom-call" in opcode or head.strip().lstrip("%").startswith(
+            ("custom-call",)):
+        return "custom-call (norm kernels)"
+    if _G_OPT.search(text) or "state_g_params" in text:
+        return "G misc (opt/param)"
+    return f"other {opcode or '?'}"
 
 
 def main():
@@ -107,15 +105,6 @@ def main():
                                    dtype=np.uint8))
     key = jax.random.key(1)
 
-    lowered = step.lower(state, src, tgt, key, apply_gp=True)
-    compiled = lowered.compile()
-    hlo = compiled.as_text()
-    with open(os.path.join(outdir, "compiled.hlo.txt"), "w") as f:
-        f.write(hlo)
-    instr, comp_ops, fusion_calls = parse_hlo(hlo)
-    print(f"parsed {len(instr)} instructions, "
-          f"{len(fusion_calls)} fusions with calls", flush=True)
-
     state, m = step(state, src, tgt, key, apply_gp=True)
     float(m.loss_d)
     holder = {"s": state}
@@ -124,39 +113,26 @@ def main():
             holder["s"], mm = step(holder["s"], src, tgt, key, apply_gp=True)
         float(mm.loss_d)
 
-    by_name = xplane_by_name(outdir)
+    by_name = xplane_events(outdir)
     total = sum(by_name.values())
     print(f"device total {total:.2f} ms over 3 steps "
           f"({total / 3:.2f} ms/step)\n", flush=True)
 
-    # Attribute every op: group by shortened op_name of the op itself; for
-    # fusions, also show the convs/dots inside the fused computation.
-    rows = []
+    buckets = defaultdict(float)
+    examples = defaultdict(list)
     for name, ms in by_name.items():
-        opcode, op_name, _ = instr.get(name, ("?", "", None))
-        inner = ""
-        if name in fusion_calls:
-            inside = comp_ops.get(fusion_calls[name], [])
-            if inside:
-                inner = " | inner: " + "; ".join(
-                    f"{oc}:{shorten(on)}" for oc, on in inside[:3])
-        rows.append((ms, name, opcode, shorten(op_name), inner))
-    rows.sort(reverse=True)
+        b = classify(name)
+        buckets[b] += ms
+        examples[b].append((ms, name))
 
-    print("== top 40 individual ops (3-step totals) ==")
-    for ms, name, opcode, s_on, inner in rows[:40]:
-        print(f"{ms:8.3f} ms  {name:<22} {opcode:<12} {s_on}{inner}")
-
-    # Aggregate per module-scope key (2nd-to-last path component usually the
-    # flax scope) and per direction.
-    agg = defaultdict(float)
-    for ms, name, opcode, s_on, inner in rows:
-        direction = "bwd" if "transpose(" in s_on else "fwd"
-        scope = s_on.split("/")[0] if "/" in s_on else s_on
-        agg[(direction, scope, opcode)] += ms
-    print("\n== aggregated (direction, leading scope, opcode) ==")
-    for (d, sc, oc), ms in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"{ms:8.3f} ms  {d:<4} {oc:<12} {sc}")
+    print("== per-subsystem buckets (ms per step) ==")
+    for b, ms in sorted(buckets.items(), key=lambda kv: -kv[1]):
+        print(f"{ms / 3:8.3f} ms  {b}")
+    print("\n== top 3 ops inside each bucket ==")
+    for b, ms in sorted(buckets.items(), key=lambda kv: -kv[1]):
+        print(f"-- {b} ({ms / 3:.3f} ms/step)")
+        for ems, name in sorted(examples[b], reverse=True)[:3]:
+            print(f"   {ems / 3:7.3f} ms  {name[:150]}")
 
 
 if __name__ == "__main__":

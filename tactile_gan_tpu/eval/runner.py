@@ -16,6 +16,7 @@ Faithful reference quirks kept:
 from __future__ import annotations
 
 import os
+import time
 import weakref
 from typing import Callable, List, Optional, Tuple
 
@@ -188,14 +189,20 @@ def _chain_for(forward1, forward2):
     return chain
 
 
-def _write_case(i: int, src_norm: np.ndarray, tgt: np.ndarray,
+def _write_case(i: int, src: np.ndarray, tgt: np.ndarray,
                 out: np.ndarray, output_path: str, target_mode: str) -> None:
+    """src/tgt arrive as the decoded uint8 (passed through `_u8` untouched —
+    byte-identical to the f32 unnormalize->quantize round trip, which
+    recovers k/255 to within 1.5e-5 of a u8 step); out is either the
+    on-device-quantized u8 (default) or f32 (legacy transfer)."""
     if target_mode == "rgb":
         b_img, out_img = to_pil(tgt), to_pil(out)
     else:
         b_img, out_img = compose_channels(tgt), compose_channels(out)
     out_img.save(os.path.join(output_path, "out", f"{i + 1}.png"))
-    concat_images(to_pil(unnormalize(src_norm)), b_img, out_img).save(
+    src_img = to_pil(src) if src.dtype == np.uint8 \
+        else to_pil(unnormalize(src))
+    concat_images(src_img, b_img, out_img).save(
         os.path.join(output_path, "sgt", f"{i + 1}.png"))
     if target_mode != "rgb":
         b_elm = concat_images(*[to_pil(tgt[:, :, c:c + 1]) for c in range(3)])
@@ -239,6 +246,24 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
 
     if transfer not in ("u8", "f32"):
         raise ValueError(f"unknown eval transfer mode: {transfer!r}")
+    # TACTILE_EVAL_TIMING=1: accumulate per-stage wall time (threads included)
+    # and print a breakdown — the measurement tool behind the eval floor
+    # analysis in BASELINE.md round 5.
+    timing = None
+    if os.environ.get("TACTILE_EVAL_TIMING"):
+        import threading
+        from collections import defaultdict
+        timing = defaultdict(float)
+        _tlock = threading.Lock()
+
+    def _timed(label, fn, *a):
+        if timing is None:
+            return fn(*a)
+        t0 = time.perf_counter()
+        r = fn(*a)
+        with _tlock:
+            timing[label] += time.perf_counter() - t0
+        return r
     for sub in ("out", "sgt", "elm"):
         mkdir(os.path.join(output_path, sub))
 
@@ -251,10 +276,15 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
     jits = _jits_for(forward_chain)
     want_sums = transfer == "u8" and evaluation
 
-    with cf.ThreadPoolExecutor(max_workers=max(1, threads)) as decode, \
+    # CPU-bound pools (decode, PNG writes) never exceed the core count:
+    # extra threads on a small host only add GIL/context-switch thrash
+    # (measured on the 1-core v5e host: 8 write workers were 0.74x the
+    # serial rate — BASELINE.md round 5).
+    host_par = max(1, min(threads, os.cpu_count() or threads))
+    with cf.ThreadPoolExecutor(max_workers=host_par) as decode, \
             cf.ThreadPoolExecutor(max_workers=1) as staging, \
             cf.ThreadPoolExecutor(max_workers=1) as d2h, \
-            cf.ThreadPoolExecutor(max_workers=max(1, threads)) as worker:
+            cf.ThreadPoolExecutor(max_workers=host_par) as worker:
 
         def _pad(arrs):
             stacked = np.stack(arrs)
@@ -265,27 +295,31 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
             return stacked
 
         def assemble(idxs):
-            pairs = list(decode.map(dataset.load_pair, idxs))
+            pairs = _timed("decode",
+                           lambda: list(decode.map(dataset.load_pair, idxs)))
             srcs = _pad([p[0] for p in pairs])
-            # The f32 view feeds the sgt PNG writers on the HOST; the device
-            # upload is the raw uint8 (4x less relay H2D traffic — the
-            # normalize runs on-device inside the jitted forward with the
-            # identical f32 arithmetic, bit-exact vs uploading
+            # The device upload is the raw uint8 (4x less relay H2D traffic
+            # — the normalize runs on-device inside the jitted forward with
+            # the identical f32 arithmetic, bit-exact vs uploading
             # host-normalized f32). The upload happens HERE, on the staging
             # worker, one batch ahead of the dispatch loop (device_put
             # blocks through the relay — same lesson as the Trainer's H2D
-            # staging thread).
-            src = srcs.astype(np.float32) / 255.0 * 2.0 - 1.0
-            dev_tgt = (jnp.asarray(_pad([p[1] for p in pairs]))
+            # staging thread). The sgt writers take the decoded u8 directly
+            # (no per-batch f32 conversion — the host is single-core, see
+            # BASELINE.md round 5).
+            dev_tgt = (_timed("h2d_tgt", jnp.asarray,
+                              _pad([p[1] for p in pairs]))
                        if want_sums else None)
-            return idxs, pairs, jnp.asarray(srcs), dev_tgt, src
+            return idxs, pairs, _timed("h2d_src", jnp.asarray, srcs), dev_tgt
 
         writes = []
         metrics = []  # futures or ready dicts, in dataset order
 
-        def drain(idxs, pairs, src_np, dev_out, dev_sums):
-            outs = np.asarray(dev_out)  # device->host of the finished batch
-            sums = (np.asarray(dev_sums, dtype=np.float64)
+        def drain(idxs, pairs, dev_out, dev_sums):
+            # device->host of the finished batch
+            outs = _timed("d2h_out", np.asarray, dev_out)
+            sums = (_timed("d2h_sums",
+                           lambda: np.asarray(dev_sums, dtype=np.float64))
                     if dev_sums is not None else None)
             for k, i in enumerate(idxs):
                 out = outs[k]
@@ -300,33 +334,37 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
                         metrics.append(worker.submit(
                             eval_pair,
                             tgt_u8.astype(np.float32) / 255.0, out))
-                # tgt crosses as uint8; the writers' _u8 passes it through
-                # (byte-identical to quantizing tgt/255.0 — exact).
+                # src/tgt cross as uint8; the writers' _u8 passes them
+                # through (byte-identical to quantizing the f32 forms).
                 writes.append(worker.submit(
-                    _write_case, i, src_np[k], tgt_u8, out, output_path,
-                    target_mode))
+                    _timed, "write", _write_case, i, pairs[k][0], tgt_u8,
+                    out, output_path, target_mode))
 
         from collections import deque
 
+        t_start = time.perf_counter()
         pending = staging.submit(assemble, chunks[0])
         drains = deque()
         for ci in range(len(chunks)):
-            idxs, pairs, srcs_u8, dev_tgt, src_np = pending.result()
+            idxs, pairs, srcs_u8, dev_tgt = _timed(
+                "wait_staging", pending.result)
             if ci + 1 < len(chunks):
                 pending = staging.submit(assemble, chunks[ci + 1])
             # async dispatch (src pre-staged)
             if want_sums:
-                dev_out, dev_sums = jits["u8_eval"](srcs_u8, dev_tgt)
+                dev_out, dev_sums = _timed("dispatch", jits["u8_eval"],
+                                           srcs_u8, dev_tgt)
             elif transfer == "u8":
-                dev_out, dev_sums = jits["u8"](srcs_u8), None
+                dev_out, dev_sums = _timed("dispatch", jits["u8"],
+                                           srcs_u8), None
             else:
-                dev_out, dev_sums = jits["f32"](srcs_u8), None
-            drains.append(d2h.submit(drain, idxs, pairs, src_np, dev_out,
-                                     dev_sums))
+                dev_out, dev_sums = _timed("dispatch", jits["f32"],
+                                           srcs_u8), None
+            drains.append(d2h.submit(drain, idxs, pairs, dev_out, dev_sums))
             while len(drains) > 4:  # cap live device output buffers
-                drains.popleft().result()
+                _timed("wait_drain", drains.popleft().result)
         for f in drains:
-            f.result()  # all metric/write futures submitted, in order
+            _timed("wait_drain", f.result)
 
         for f in metrics:
             res = f.result() if isinstance(f, cf.Future) else f
@@ -335,6 +373,13 @@ def _run_cases(forward_chain: Callable[[jax.Array], jax.Array],
             jaccard.append(float(res["jaccard"]))
         for w in writes:
             w.result()  # surface any write error
+        if timing is not None:
+            wall = time.perf_counter() - t_start
+            parts = " ".join(f"{k}={v * 1e3 / n:.1f}"
+                             for k, v in sorted(timing.items()))
+            print(f"[eval timing] n={n} wall/img="
+                  f"{wall * 1e3 / n:.1f} ms | per-img ms: {parts}",
+                  flush=True)
     return accuracy, dice, jaccard
 
 

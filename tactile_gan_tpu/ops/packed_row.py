@@ -32,7 +32,9 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from tactile_gan_tpu.ops.pallas.conv3x3 import _build_b, conv3x3_packed
+from tactile_gan_tpu.ops.pallas.conv3x3 import (
+    _build_b, conv3x3_packed, conv3x3_packed_wgrad,
+)
 
 
 class PackedW(NamedTuple):
@@ -238,22 +240,14 @@ def _packed_fwd(xp, k, h, compute_dtype):
     return _packed_fwd_impl(xp, k, h, compute_dtype), (xp, k)
 
 
-def _packed_bwd(h, compute_dtype, res, g):
-    xp, k = res
+def _wgrad_xla(xp, g, h, compute_dtype):
+    """XLA twin of the wgrad kernel: materialized shifted views + einsums
+    (the off-TPU path, and the round-3/4 TPU path — the views cost
+    12.1 ms/step of HBM traffic at b4, see BASELINE.md round 5)."""
     n, hp, c2 = xp.shape
     c = c2 // 2
-    co = k.shape[3]
     w2 = hp // h
     cd = compute_dtype or jnp.float32
-
-    # dx: the transpose of a SAME-padded 3x3/s1 conv is the same conv with
-    # the rotated-transposed kernel — the packed kernel again (2Co<=128 and
-    # 2C<=128 both hold by construction).
-    dxp = _packed_fwd_impl(g, _rot_t(k), h, compute_dtype)
-
-    # dk: contract the shifted input views against the cotangent; fold the
-    # dB matrices back through the embedding transpose. Plain XLA matmuls
-    # (K = N*HP is huge, M=2C, N=2Co — MXU-shaped).
     dbmid = []
     dblr = []
     for dh in (-1, 0, 1):
@@ -263,7 +257,57 @@ def _packed_bwd(h, compute_dtype, res, g):
                                 preferred_element_type=jnp.float32))
         dblr.append(jnp.einsum("nrc,nro->co", alr.astype(cd), g.astype(cd),
                                preferred_element_type=jnp.float32))
-    dk = _dk_from_db(jnp.stack(dbmid), jnp.stack(dblr), c, co)
+    return jnp.stack(dbmid), jnp.stack(dblr)
+
+
+def _wgrad_impl(xp, g, h, compute_dtype):
+    """dBmid/dBlr with the same backend/mesh dispatch as the forward: the
+    in-VMEM Pallas wgrad kernel on TPU (shard_map + psum under an ambient
+    data mesh), the einsum twin everywhere else. TACTILE_WGRAD=xla forces
+    the twin (probe-only A/B knob, scripts/probe_disc.py)."""
+    import os as _os
+
+    import jax as _jax
+    if (_jax.default_backend() != "tpu"
+            or _os.environ.get("TACTILE_WGRAD") == "xla"):
+        return _wgrad_xla(xp, g, h, compute_dtype)
+    cd = compute_dtype or jnp.float32
+
+    from jax.sharding import get_abstract_mesh
+
+    am = get_abstract_mesh()
+    if not am.empty and "data" in am.axis_names:
+        if (am.shape.get("model", 1) > 1
+                or xp.shape[0] % am.shape["data"]):
+            return _wgrad_xla(xp, g, h, compute_dtype)
+        from jax.sharding import PartitionSpec as P
+
+        def shard(xl, gl):
+            dbm, dbl = conv3x3_packed_wgrad(xl, gl, h=h, compute_dtype=cd)
+            return (jax.lax.psum(dbm, "data"), jax.lax.psum(dbl, "data"))
+
+        return jax.shard_map(shard, mesh=am, in_specs=(P("data"), P("data")),
+                             out_specs=(P(), P()), axis_names={"data"},
+                             check_vma=False)(xp, g)
+    return conv3x3_packed_wgrad(xp, g, h=h, compute_dtype=cd)
+
+
+def _packed_bwd(h, compute_dtype, res, g):
+    xp, k = res
+    n, hp, c2 = xp.shape
+    c = c2 // 2
+    co = k.shape[3]
+
+    # dx: the transpose of a SAME-padded 3x3/s1 conv is the same conv with
+    # the rotated-transposed kernel — the packed kernel again (2Co<=128 and
+    # 2C<=128 both hold by construction).
+    dxp = _packed_fwd_impl(g, _rot_t(k), h, compute_dtype)
+
+    # dk: contract the shifted input views against the cotangent in VMEM
+    # (Pallas wgrad kernel), then fold the dB matrices back through the
+    # embedding transpose.
+    dbmid, dblr = _wgrad_impl(xp, g, h, compute_dtype)
+    dk = _dk_from_db(dbmid, dblr, c, co)
     return dxp, dk.astype(k.dtype)
 
 

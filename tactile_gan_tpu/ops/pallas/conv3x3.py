@@ -441,6 +441,116 @@ def conv3x3_packed(xp: jax.Array, k: jax.Array, *, h: int,
     )(xp, xp, xp, bmid, blr)
 
 
+# ---------------------------------------------------------------------------
+# Packed wgrad kernel (round 5).
+#
+# The packed conv's dk used to run as XLA einsums over MATERIALIZED shifted
+# views: _shift_h (pad+slice) and _alr (pad+iota+select) each wrote a full
+# (N, H*W/2, 2C) buffer to HBM, six of them per conv — the round-5 xplane
+# decomposition showed this "packed glue" at 12.1 ms/step at b4, 2.7x the
+# packed conv kernels themselves. This kernel builds the same six views
+# IN VMEM (the exact code the forward kernel already runs) and accumulates
+#   dBmid[dh] += A_dh^T   @ G
+#   dBlr [dh] += Alr_dh^T @ G
+# into two (3, 2C, 2Co) f32 output blocks pinned at block 0 across a
+# sequential (N, H/TH) grid — zero HBM round trips for the views.
+# _dk_from_db folds the result back to (3,3,C,Co) exactly as before; the
+# only change vs the einsum form is f32 accumulation order.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_packed_wgrad(x_slab, x_up, x_dn, g_slab, dbmid, dblr, *, th, w2,
+                         compute_dtype):
+    ni = pl.program_id(0)
+    hi = pl.program_id(1)
+    n_h = pl.num_programs(1)
+    c2 = x_slab.shape[2]
+    m = th * w2
+
+    cd = compute_dtype
+    a_slab = x_slab[0]
+    zrow = jnp.zeros((w2, c2), a_slab.dtype)
+    a_up = jnp.where(hi == 0, zrow, x_up[0])
+    a_dn = jnp.where(hi == n_h - 1, zrow, x_dn[0])
+    one = jnp.zeros((1, c2), a_slab.dtype)
+    a_ext = jnp.concatenate([one, a_up, a_slab, a_dn, one], axis=0)
+
+    me = m + 2 * w2
+    down = jax.lax.slice(a_ext, (0, 0), (me, c2))
+    up = jax.lax.slice(a_ext, (2, 0), (me + 2, c2))
+    rowmod = jax.lax.broadcasted_iota(jnp.int32, (me, c2), 0) % w2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (me, c2), 1)
+    zero = jnp.zeros((me, c2), a_ext.dtype)
+    alr_ext = jnp.where(lane >= c2 // 2,
+                        jnp.where(rowmod == 0, zero, down),
+                        jnp.where(rowmod == w2 - 1, zero, up))
+
+    @pl.when((ni == 0) & (hi == 0))
+    def _init():
+        dbmid[...] = jnp.zeros_like(dbmid)
+        dblr[...] = jnp.zeros_like(dblr)
+
+    g = g_slab[0].astype(cd)
+    # A^T @ G: contract the m axis (axis 0 of both operands).
+    tdims = (((0,), (0,)), ((), ()))
+    for dh in (-1, 0, 1):
+        off = (1 + dh) * w2
+        a = jax.lax.slice(a_ext, (1 + off, 0), (1 + off + m, c2))
+        dbmid[dh + 1] += jax.lax.dot_general(
+            a.astype(cd), g, tdims, preferred_element_type=jnp.float32)
+        alr = jax.lax.slice(alr_ext, (off, 0), (off + m, c2))
+        dblr[dh + 1] += jax.lax.dot_general(
+            alr.astype(cd), g, tdims, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "interpret", "compute_dtype",
+                                    "block_h"))
+def conv3x3_packed_wgrad(xp: jax.Array, g: jax.Array, *, h: int,
+                         interpret: bool = False,
+                         compute_dtype=jnp.bfloat16, block_h: int = 8):
+    """dBmid, dBlr of the packed conv: xp (N,HP,2C), g (N,HP,2Co) ->
+    ((3,2C,2Co), (3,2C,2Co)) f32. See the block comment above."""
+    n, hp, c2 = xp.shape
+    co2 = g.shape[2]
+    assert hp % h == 0
+    w2 = hp // h
+    th = block_h
+    while h % th:
+        th //= 2
+
+    grid = (n, h // th)
+    slab_spec = pl.BlockSpec((1, th * w2, c2), lambda ni, hi: (ni, hi, 0),
+                             memory_space=pltpu.VMEM)
+    halo_spec = lambda dp: pl.BlockSpec(
+        (1, w2, c2),
+        lambda ni, hi: (ni, jnp.clip(hi * th + dp, 0, h - 1), 0),
+        memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, th * w2, co2), lambda ni, hi: (ni, hi, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((3, c2, co2), lambda ni, hi: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_packed_wgrad, th=th, w2=w2,
+                          compute_dtype=compute_dtype),
+        out_shape=(jax.ShapeDtypeStruct((3, c2, co2), jnp.float32),
+                   jax.ShapeDtypeStruct((3, c2, co2), jnp.float32)),
+        grid=grid,
+        in_specs=[slab_spec, halo_spec(-1), halo_spec(th), g_spec],
+        out_specs=(out_spec, out_spec),
+        # Sequential grid: both outputs are revisited (accumulated) by every
+        # step, so neither dimension may be parallel.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * hp * c2 * co2 * 6,
+            bytes_accessed=(n * hp * c2 + n * hp * co2) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp, xp, xp, g)
+
+
 def pack_w(x: jax.Array) -> jax.Array:
     """(N,H,W,C) -> (N, H*W/2, 2C) packed view (XLA reshape)."""
     n, h, w, c = x.shape

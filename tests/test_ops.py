@@ -211,6 +211,31 @@ def test_packed_mosaic_kernel_matches_xla_twin():
             atol=tol, rtol=1e-3)
 
 
+def test_packed_wgrad_mosaic_kernel_matches_xla_twin():
+    """ops/pallas/conv3x3.py conv3x3_packed_wgrad (Mosaic interpreter): the
+    in-VMEM dB accumulation equals the materialized-view einsum twin
+    (_wgrad_xla) on production lane geometry. Round 5 moved the packed
+    conv's dk off the XLA shifted-view path (12.1 ms/step of 'packed glue'
+    HBM traffic at b4 — BASELINE.md round 5)."""
+    from tactile_gan_tpu.ops.pallas.conv3x3 import conv3x3_packed_wgrad
+    from tactile_gan_tpu.ops.packed_row import _wgrad_xla, pack_w
+
+    rng = np.random.default_rng(17)
+    C = Co = 64
+    for (N, H, W) in [(1, 16, 16), (2, 8, 12)]:
+        x = rng.normal(size=(N, H, W, C)).astype(np.float32)
+        g = rng.normal(size=(N, H, W, Co)).astype(np.float32)
+        xp = pack_w(jnp.asarray(x)).d
+        gp = pack_w(jnp.asarray(g)).d
+        want_m, want_l = _wgrad_xla(xp, gp, H, jnp.float32)
+        got_m, got_l = conv3x3_packed_wgrad(xp, gp, h=H, interpret=True,
+                                            compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                                   atol=1e-3, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                                   atol=1e-3, rtol=1e-5)
+
+
 def test_instance_norm_act_packed_matches_plain():
     """Packed-space IN (+relu) equals the NHWC instance_norm on the same
     data (single-pass sumsq stats vs two-pass: fp-noise only)."""
