@@ -216,21 +216,21 @@ def measure_ours(steps: int = 20):
         extra["stage_error"] = str(e)
 
     # Throughput matrix: batch {4,8,16} x {pallas, xla} — the gating evidence
-    # for effective_use_pallas(), re-measured every round. b8 is the measured
-    # crossover boundary (round 2: pallas 51.5 vs XLA 69.9) that pins the
-    # per-chip gate at batch <= 4 — it must live in the BENCH artifact, not
-    # just BASELINE.md prose.
+    # for effective_use_pallas() (crossover between b4 and b8) and
+    # effective_packed_row0() (since round 5: packed wins at EVERY batch on
+    # its best norm path — the _nopacked entries keep that evidence in the
+    # BENCH artifact, not just BASELINE.md prose).
     matrix = {f"b{BATCH}_" + ("pallas" if pallas_default else "xla"):
               round(train_ips, 3)}
     if jax.default_backend() == "tpu":
-        # Every entry runs the SHIPPED auto gates for its shape (packed
-        # row-0 / lane_pack engage per their per-chip-batch rules); the
-        # explicit nopacked entry preserves the packed-gate evidence.
+        # Every entry runs the SHIPPED auto gates for its shape unless a
+        # suffix pins a variant.
         for b, up, s2d, pr0, suffix in (
                 (BATCH, not pallas_default, False, None, ""),
                 (BATCH, pallas_default, False, False, "_nopacked"),
                 (8, True, False, None, ""), (8, False, False, None, ""),
                 (16, True, False, None, ""), (16, False, False, None, ""),
+                (16, False, False, False, "_nopacked"),
                 (BATCH, pallas_default, True, None, "_s2d")):
             kname = (f"b{b}_" + ("pallas" if up else "xla") + suffix)
             if kname in matrix:

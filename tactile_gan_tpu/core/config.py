@@ -276,10 +276,13 @@ class TrainConfig:
         only (off-TPU the exact XLA twin exists but measures slower than
         the plain conv path). Auto engages for the supported geometry
         (UNet++, nf <= 64 so 2*nf lanes fit one 128-lane tile,
-        split_concat, no space_to_depth) at per-chip batch <= 4 — measured
-        on v5e (full step, round 3): b4 pallas 49.4 -> 56.6 img/s, b4 XLA
-        28.8 -> 54.1, but b16 XLA 64.7 -> 62.5 (the saved-activation
-        fusions win again at large per-chip batch)."""
+        split_concat, no space_to_depth) at EVERY per-chip batch since
+        round 5: the in-VMEM wgrad kernel removed the 12 ms/step of
+        shifted-view HBM traffic that made the packed backward lose at
+        large batches. Measured on v5e (full step, round 5, vs the best
+        non-packed config): b4 82.4 vs 77.2, b8 XLA 110.6 vs 100.2,
+        b16 XLA 110.1 vs 104.4 img/s. (The round-3 gate was per-chip
+        batch <= 4 — that measured the old einsum wgrad.)"""
         import jax
         if jax.default_backend() != "tpu":
             # Testing escape hatch (mirrors force_pallas): an explicit
@@ -297,7 +300,7 @@ class TrainConfig:
                     "--packed_row0 needs UNet++, nf<=64, split_concat and "
                     "no space_to_depth")
             return self.packed_row0
-        return ok and self.per_chip_batch(data_axis_size) <= 4
+        return ok
 
     def effective_gp_fused(self) -> bool:
         """Auto default for the fused-GP step form: OFF — measured round 4

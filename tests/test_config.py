@@ -165,8 +165,9 @@ def test_lane_pack_auto_gate(monkeypatch):
 
 def test_packed_row0_auto_gate(monkeypatch):
     """Auto --packed_row0: TPU + UNet++ + nf<=64 + split_concat + no s2d at
-    per-chip batch <= 4 (BASELINE.md round 3); explicit flags override;
-    invalid geometry with an explicit True raises; off-TPU always off."""
+    EVERY per-chip batch (round 5: the in-VMEM wgrad kernel made packed win
+    at b4/b8/b16 — BASELINE.md); explicit flags override; invalid geometry
+    with an explicit True raises; off-TPU always off."""
     import jax
 
     import pytest as _pytest
@@ -174,11 +175,14 @@ def test_packed_row0_auto_gate(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert TrainConfig(batch_size=4).effective_packed_row0(
         data_axis_size=1) is True
-    # b16 single chip -> off (measured regression); 16 over 4 chips -> on.
+    # Round 5: on at b16 too (110.1 vs 104.4 img/s measured).
     assert TrainConfig(batch_size=16).effective_packed_row0(
-        data_axis_size=1) is False
+        data_axis_size=1) is True
     assert TrainConfig(batch_size=16).effective_packed_row0(
         data_axis_size=4) is True
+    # Explicit False still wins.
+    assert TrainConfig(batch_size=16, packed_row0=False).\
+        effective_packed_row0(data_axis_size=1) is False
     # Unsupported geometries stay off.
     assert TrainConfig(batch_size=4, gen="UNet").effective_packed_row0(
         data_axis_size=1) is False
