@@ -36,10 +36,15 @@ _ANSI = re.compile(r"\x1b\[[0-9;]*[A-Za-z]")
 def _short_err(e: Exception) -> str:
     """One short, control-character-free line. Round 4's BENCH artifact was
     unparseable because a matrix entry embedded a multi-KB libtpu init log
-    (ANSI escapes included) as its error string."""
+    (ANSI escapes included) as its error string. Relay errors bury the
+    status line in INFO noise — prefer the first line carrying a status
+    keyword."""
     lines = [ln.strip() for ln in _ANSI.sub("", str(e)).splitlines()
              if ln.strip()]
-    msg = lines[-1] if lines else type(e).__name__
+    msg = next((ln for ln in lines
+                if re.search(r"INTERNAL|INVALID_ARGUMENT|RESOURCE_EXHAUSTED"
+                             r"|UNAVAILABLE|HTTP \d|SIGKILL|[Ee]rror", ln)),
+               lines[-1] if lines else type(e).__name__)
     return f"error: {type(e).__name__}: {msg[:200]}"
 
 
