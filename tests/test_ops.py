@@ -236,6 +236,41 @@ def test_packed_wgrad_mosaic_kernel_matches_xla_twin():
                                    atol=1e-3, rtol=1e-5)
 
 
+def test_packed_wgrad_shard_map_psum_matches_global():
+    """The production mesh wiring of the wgrad kernel (_wgrad_impl's TPU
+    branch: shard_map over the data axis + psum of the per-shard dB) is
+    exercised on the CPU mesh with the interpreted kernel — the per-shard
+    sums of batch slices must equal the global contraction."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from tactile_gan_tpu.ops.pallas.conv3x3 import conv3x3_packed_wgrad
+    from tactile_gan_tpu.ops.packed_row import _wgrad_xla, pack_w
+
+    rng = np.random.default_rng(29)
+    N, H, W, C = 4, 8, 8, 64
+    x = rng.normal(size=(N, H, W, C)).astype(np.float32)
+    g = rng.normal(size=(N, H, W, C)).astype(np.float32)
+    xp = pack_w(jnp.asarray(x)).d
+    gp = pack_w(jnp.asarray(g)).d
+    want_m, want_l = _wgrad_xla(xp, gp, H, jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+
+    def shard(xl, gl):
+        dbm, dbl = conv3x3_packed_wgrad(xl, gl, h=H,
+                                        compute_dtype=jnp.float32,
+                                        interpret=True)
+        return jax.lax.psum(dbm, "data"), jax.lax.psum(dbl, "data")
+
+    got_m, got_l = jax.jit(jax.shard_map(
+        shard, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P(), P()), check_vma=False))(xp, gp)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               atol=1e-3, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               atol=1e-3, rtol=1e-5)
+
+
 def test_instance_norm_act_packed_matches_plain():
     """Packed-space IN (+relu) equals the NHWC instance_norm on the same
     data (single-pass sumsq stats vs two-pass: fp-noise only)."""
