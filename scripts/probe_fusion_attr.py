@@ -48,10 +48,10 @@ def xplane_events(trace_dir):
     return by_name
 
 
-# D activations: NHWC batch 4/8/12 at the valid-pad rows, or XLA's
+# D activations: NHWC (any batch) at the valid-pad rows, or XLA's
 # transposed (H, Wtiles, N, C) layout for the same rows.
-_D_SHAPE = re.compile(r"\[(?:4|8|12),(?:127|63|61|59|57),")
-_D_SHAPE_T = re.compile(r"\[(?:127|63|61|59|57),\d+,(?:4|8|12),")
+_D_SHAPE = re.compile(r"\[\d+,(?:127|63|61|59|57),")
+_D_SHAPE_T = re.compile(r"\[(?:127|63|61|59|57),\d+,\d+,")
 _D_NAME = re.compile(r"block\d_(?:conv|norm)|patch_head|state_d_")
 _PACKED_ROW = re.compile(r"\[4,32768,(?:128|6)\]|\[4,(?:128|256),2,128")
 _NODE = re.compile(r"node(\d)_\d")
